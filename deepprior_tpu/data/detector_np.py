@@ -1,0 +1,226 @@
+"""Literal numpy implementation of the crop pipeline (host-side oracle).
+
+This is the algorithm of `HandDetector.cropArea3D` (reference
+src/util/handdetector.py:382-490) written as plain vectorized numpy:
+dynamic bbox slice -> constant pad -> z-threshold -> aspect-preserving
+nearest resize -> center-embed.  It exists for two reasons:
+
+1. importers decode and crop frames on the host at dataset-import time
+   (one-off, I/O bound — no reason to ship it to the TPU), and
+2. it is the parity oracle for the fused static-shape warp in ops/crop.py
+   (tests/test_crop.py asserts agreement).
+
+No cv2/scipy dependency: the nearest resize reproduces cv2.INTER_NEAREST's
+`src = floor(dst * scale)` indexing directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from deepprior_tpu.camera import Camera
+
+
+class HandCropper:
+    """Per-image host-side crop pipeline (constructor mirrors
+    handdetector.py:49-69: per-image depth clamping)."""
+
+    def __init__(self, dpt: np.ndarray, camera: Camera):
+        dpt = np.asarray(dpt, np.float32).copy()
+        self.max_depth = min(1500.0, float(dpt.max()))
+        self.min_depth = max(10.0, float(dpt.min()))
+        dpt[dpt > self.max_depth] = 0.0
+        dpt[dpt < self.min_depth] = 0.0
+        self.dpt = dpt
+        self.camera = camera
+        self.fx = abs(camera.fx)
+        self.fy = abs(camera.fy)
+
+    # ------------------------------------------------------------------
+    def calculate_com(self, dpt: Optional[np.ndarray] = None) -> np.ndarray:
+        """Masked-moment CoM (handdetector.py:91-108)."""
+        d = self.dpt if dpt is None else np.asarray(dpt, np.float32)
+        valid = (d >= self.min_depth) & (d <= self.max_depth) & (d > 0)
+        num = int(valid.sum())
+        if num == 0:
+            return np.zeros(3, np.float32)
+        rows, cols = np.nonzero(valid)
+        return np.array(
+            [cols.mean(), rows.mean(), d[valid].mean()], np.float32
+        )
+
+    def check_image(self, tol: float) -> bool:
+        return bool(np.std(self.dpt) >= tol)
+
+    # ------------------------------------------------------------------
+    def com_to_bounds(self, com, size) -> Tuple[int, int, int, int, float, float]:
+        """handdetector.py:204-226 (floor(x+0.5) rounding, center fallback)."""
+        h, w = self.dpt.shape
+        if np.isclose(com[2], 0.0):
+            return (
+                w // 4,
+                w // 4 + w // 2,
+                h // 4,
+                h // 4 + h // 2,
+                self.min_depth,
+                self.max_depth,
+            )
+        zstart = com[2] - size[2] / 2.0
+        zend = com[2] + size[2] / 2.0
+        xstart = int(np.floor((com[0] * com[2] / self.fx - size[0] / 2.0) / com[2] * self.fx + 0.5))
+        xend = int(np.floor((com[0] * com[2] / self.fx + size[0] / 2.0) / com[2] * self.fx + 0.5))
+        ystart = int(np.floor((com[1] * com[2] / self.fy - size[1] / 2.0) / com[2] * self.fy + 0.5))
+        yend = int(np.floor((com[1] * com[2] / self.fy + size[1] / 2.0) / com[2] * self.fy + 0.5))
+        return xstart, xend, ystart, yend, zstart, zend
+
+    def get_crop(self, xstart, xend, ystart, yend, zstart, zend, thresh_z=True):
+        """Slice + constant-pad + z-threshold (handdetector.py:260-296)."""
+        d = self.dpt
+        h, w = d.shape
+        crop = d[max(ystart, 0) : min(yend, h), max(xstart, 0) : min(xend, w)].copy()
+        crop = np.pad(
+            crop,
+            (
+                (abs(ystart) - max(ystart, 0), abs(yend) - min(yend, h)),
+                (abs(xstart) - max(xstart, 0), abs(xend) - min(xend, w)),
+            ),
+            mode="constant",
+            constant_values=0.0,
+        )
+        if thresh_z:
+            near = (crop < zstart) & (crop != 0)
+            crop[near] = zstart
+            crop[crop > zend] = 0.0
+        return crop
+
+    @staticmethod
+    def resize_nearest(src: np.ndarray, sz_wh: Tuple[int, int]) -> np.ndarray:
+        """cv2.INTER_NEAREST-equivalent resize: src = floor(dst * scale)."""
+        sw, sh = sz_wh
+        h, w = src.shape
+        cols = np.minimum((np.arange(sw) * (w / sw)).astype(np.int64), w - 1)
+        rows = np.minimum((np.arange(sh) * (h / sh)).astype(np.int64), h - 1)
+        return src[np.ix_(rows, cols)]
+
+    # ------------------------------------------------------------------
+    def crop_area_3d(
+        self,
+        com=None,
+        size=(250.0, 250.0, 250.0),
+        dsize=(128, 128),
+        docom: bool = False,
+    ):
+        """The full crop (handdetector.py:382-490, minus the refineNet hook).
+
+        Returns (crop (dh, dw) float32 mm, M (3, 3), com).
+        """
+        if com is None:
+            com = self.calculate_com()
+        com = np.asarray(com, np.float32).copy()
+
+        xstart, xend, ystart, yend, zstart, zend = self.com_to_bounds(com, size)
+        cropped = self.get_crop(xstart, xend, ystart, yend, zstart, zend)
+
+        if docom:
+            # recompute the CoM inside the cube and recrop (py:413-427)
+            com = self.calculate_com(cropped)
+            if np.allclose(com, 0.0):
+                com[2] = cropped[cropped.shape[0] // 2, cropped.shape[1] // 2]
+                if np.isclose(com[2], 0.0):
+                    com[2] = 300.0
+            com[0] += xstart
+            com[1] += ystart
+            xstart, xend, ystart, yend, zstart, zend = self.com_to_bounds(com, size)
+            cropped = self.get_crop(xstart, xend, ystart, yend, zstart, zend)
+
+        wb, hb = xend - xstart, yend - ystart
+        dw, dh = dsize
+        if wb > hb:
+            sz = (dw, hb * dw // wb)
+        else:
+            sz = (wb * dh // hb, dh)
+        scale = sz[1] / float(hb) if hb > wb else sz[0] / float(wb)
+
+        rz = self.resize_nearest(cropped, sz)
+
+        ret = np.zeros((dh, dw), np.float32)  # ND background == 0 post-clamp
+        ox = int(np.floor(dw / 2.0 - rz.shape[1] / 2.0))
+        oy = int(np.floor(dh / 2.0 - rz.shape[0] / 2.0))
+        ret[oy : oy + rz.shape[0], ox : ox + rz.shape[1]] = rz
+
+        m = np.array(
+            [
+                [scale, 0.0, -scale * xstart + ox],
+                [0.0, scale, -scale * ystart + oy],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+        return ret, m, com
+
+    # ------------------------------------------------------------------
+    def refine_com_iterative(self, com, num_iter, size=(250.0, 250.0, 250.0)):
+        """handdetector.py:546-567 (CoM in full-image coordinates)."""
+        com = np.asarray(com, np.float32).copy()
+        for _ in range(num_iter):
+            xstart, xend, ystart, yend, zstart, zend = self.com_to_bounds(com, size)
+            cropped = self.get_crop(xstart, xend, ystart, yend, zstart, zend)
+            c = self.calculate_com(cropped)
+            if np.allclose(c, 0.0):
+                c[2] = cropped[cropped.shape[0] // 2, cropped.shape[1] // 2]
+            # crop col c maps to image col xstart + c (the reference adds
+            # max(xstart, 0), which is off by |xstart| for bboxes crossing
+            # the left/top edge — we use correct image coordinates)
+            c[0] += xstart
+            c[1] += ystart
+            com = c
+        return com
+
+    def detect(self, size=(250.0, 250.0, 250.0), num_slices=20, min_area=200):
+        """Full-frame detection: depth slices -> connected components ->
+        iterative CoM refinement (handdetector.py:569-632), using
+        scipy.ndimage.label instead of cv2 contours.
+
+        Returns the CoM, or zeros if nothing is found.
+        """
+        from scipy import ndimage
+
+        dz = (self.max_depth - self.min_depth) / float(num_slices)
+        for i in range(num_slices):
+            lo = i * dz + self.min_depth
+            hi = (i + 1) * dz + self.min_depth
+            mask = (self.dpt >= lo) & (self.dpt <= hi) & (self.dpt > 0)
+            if not mask.any():
+                continue
+            labels, n = ndimage.label(mask)
+            if n == 0:
+                continue
+            sizes = ndimage.sum_labels(mask, labels, index=np.arange(1, n + 1))
+            big = np.argsort(sizes)[::-1]
+            if sizes[big[0]] <= min_area:
+                continue
+            blob = labels == (big[0] + 1)
+            rows, cols = np.nonzero(blob)
+            com = np.array(
+                [cols.mean(), rows.mean(), self.dpt[blob].mean()], np.float32
+            )
+            return self.refine_com_iterative(com, 5, size)
+        return np.zeros(3, np.float32)
+
+    def estimate_hand_size(self, com, size=(250.0, 250.0, 250.0), tol=0.0):
+        """Metric cube from the extent of the z-sliced blob around the CoM
+        (handdetector.py:911-937, bbox from the thresholded mask)."""
+        zstart = com[2] - size[2] / 2.0
+        zend = com[2] + size[2] / 2.0
+        mask = (self.dpt >= zstart) & (self.dpt <= zend) & (self.dpt > 0)
+        if not mask.any():
+            return size
+        rows, cols = np.nonzero(mask)
+        w = cols.max() - cols.min() + 1
+        h = rows.max() - rows.min() + 1
+        szx = w * com[2] / self.fx
+        szy = h * com[2] / self.fy
+        sz = (szx + szy) / 2.0
+        return (sz + tol, sz + tol, sz + tol)

@@ -1,0 +1,158 @@
+"""2D/3D point transforms, batched and jit-compatible.
+
+Replaces the per-point Python loops of reference
+src/data/transformations.py:34-167 with vectorized jnp programs.  All
+functions accept arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def transform_points_2d(pts, m):
+    """Apply a 3x3 homogeneous transform to (..., 2+) points.
+
+    Only the first two coordinates are transformed; any trailing
+    coordinates (e.g. depth) are passed through unchanged.
+    Mirrors reference transformations.py:47-68.
+    """
+    pts = jnp.asarray(pts)
+    m = jnp.asarray(m)
+    xy1 = jnp.concatenate(
+        [pts[..., :2], jnp.ones(pts.shape[:-1] + (1,), pts.dtype)], axis=-1
+    )
+    out = jnp.einsum("ij,...j->...i", m, xy1)
+    xy = out[..., :2] / out[..., 2:3]
+    if pts.shape[-1] > 2:
+        return jnp.concatenate([xy, pts[..., 2:]], axis=-1)
+    return xy
+
+
+def rotation_matrix_2d(center, angle_deg):
+    """3x3 homogeneous matrix rotating by `angle_deg` about `center`.
+
+    Positive angles follow the reference convention
+    (transformations.py:71-89): x' = x cos - y sin, y' = x sin + y cos,
+    i.e. clockwise on screen for y-down image coordinates.
+    """
+    a = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c, s = jnp.cos(a), jnp.sin(a)
+    cx, cy = jnp.asarray(center)[..., 0], jnp.asarray(center)[..., 1]
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    # T(center) @ R @ T(-center)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, cx - c * cx + s * cy], axis=-1),
+            jnp.stack([s, c, cy - s * cx - c * cy], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotate_points_2d(pts, center, angle_deg):
+    """Rotate (..., 2+) points about a 2D center; depth passthrough.
+
+    Mirrors reference transformations.py:71-102.
+    """
+    pts = jnp.asarray(pts)
+    center = jnp.asarray(center)
+    a = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c, s = jnp.cos(a), jnp.sin(a)
+    dx = pts[..., 0] - center[..., 0]
+    dy = pts[..., 1] - center[..., 1]
+    x = dx * c - dy * s + center[..., 0]
+    y = dx * s + dy * c + center[..., 1]
+    out = jnp.stack([x, y], axis=-1)
+    if pts.shape[-1] > 2:
+        return jnp.concatenate([out, pts[..., 2:]], axis=-1)
+    return out
+
+
+def euler_rotation_matrix(angle_x_deg, angle_y_deg, angle_z_deg):
+    """3x3 rotation from extrinsic-xyz Euler angles in degrees.
+
+    Equivalent to transforms3d.euler.euler2mat(ax, ay, az, 'rxyz') used by
+    the reference (transformations.py:105-120): R = Rx @ Ry @ Rz applied
+    as intrinsic rotations, i.e. R = Rx(ax) Ry(ay) Rz(az).
+    """
+    ax = jnp.deg2rad(jnp.asarray(angle_x_deg, jnp.float32))
+    ay = jnp.deg2rad(jnp.asarray(angle_y_deg, jnp.float32))
+    az = jnp.deg2rad(jnp.asarray(angle_z_deg, jnp.float32))
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.stack(
+        [
+            jnp.stack([jnp.ones_like(cx), jnp.zeros_like(cx), jnp.zeros_like(cx)], -1),
+            jnp.stack([jnp.zeros_like(cx), cx, -sx], -1),
+            jnp.stack([jnp.zeros_like(cx), sx, cx], -1),
+        ],
+        -2,
+    )
+    ry = jnp.stack(
+        [
+            jnp.stack([cy, jnp.zeros_like(cy), sy], -1),
+            jnp.stack([jnp.zeros_like(cy), jnp.ones_like(cy), jnp.zeros_like(cy)], -1),
+            jnp.stack([-sy, jnp.zeros_like(cy), cy], -1),
+        ],
+        -2,
+    )
+    rz = jnp.stack(
+        [
+            jnp.stack([cz, -sz, jnp.zeros_like(cz)], -1),
+            jnp.stack([sz, cz, jnp.zeros_like(cz)], -1),
+            jnp.stack([jnp.zeros_like(cz), jnp.zeros_like(cz), jnp.ones_like(cz)], -1),
+        ],
+        -2,
+    )
+    return rx @ ry @ rz
+
+
+def rotate_points_3d(pts, center, angle_x_deg, angle_y_deg, angle_z_deg):
+    """Rotate (..., 3) points about a 3D center by Euler angles in degrees.
+
+    Mirrors reference transformations.py:123-155.
+    """
+    pts = jnp.asarray(pts)
+    center = jnp.asarray(center)
+    r = euler_rotation_matrix(angle_x_deg, angle_y_deg, angle_z_deg)
+    return jnp.einsum("...ij,...j->...i", r, pts - center) + center
+
+
+def transform_points_3d(pts, m):
+    """Apply a 4x4 homogeneous transform to (..., 3) points.
+
+    Mirrors reference transformations.py:158-166.
+    """
+    pts = jnp.asarray(pts)
+    m = jnp.asarray(m)
+    xyz1 = jnp.concatenate(
+        [pts, jnp.ones(pts.shape[:-1] + (1,), pts.dtype)], axis=-1
+    )
+    out = jnp.einsum("ij,...j->...i", m, xyz1)
+    return out[..., :3] / out[..., 3:4]
+
+
+def affine_2d(center=(0.0, 0.0), rot_rad=0.0, trans=(0.0, 0.0), scale=1.0):
+    """Build the 2x3 affine used by the reference's tracking overlay
+    (transformations.py:34-44), returned as a flat 6-vector
+    [a, b, tx, c, d, ty].
+    """
+    ca = jnp.cos(jnp.asarray(rot_rad, jnp.float32))
+    sa = jnp.sin(jnp.asarray(rot_rad, jnp.float32))
+    sc = jnp.asarray(scale, jnp.float32)
+    cx, cy = center
+    tx, ty = trans
+    return jnp.stack(
+        [
+            ca * sc,
+            -sa * sc,
+            sc * (ca * (-tx - cx) + sa * (cy + ty)) + cx,
+            sa * sc,
+            ca * sc,
+            sc * (ca * (-ty - cy) + sa * (-tx - cx)) + cy,
+        ]
+    )

@@ -1,0 +1,97 @@
+"""Shared layer building blocks and weight initializers.
+
+Matches the reference layer library semantics (src/net/):
+- conv layers use 'valid' padding (Theano conv2d default, convlayer.py)
+- ConvPoolLayer adds the bias *after* max-pooling (convpoollayer.py) — for a
+  per-channel bias this is identical to bias-then-maxpool, so we use the
+  standard conv(use_bias=True) -> pool -> activation order
+- pooling floors odd sizes (Theano pool_2d ignore_border=True)
+- He/Xavier initialization (layer.py:35-124)
+- dropout keeps p_drop = 0.3 (dropoutlayer.py:39-138); at inference the
+  reference multiplies activations by p_keep instead of masking — standard
+  inverted dropout is mathematically equivalent in expectation and is what
+  flax implements
+
+Layout is NHWC (TPU-native); the reference's NCHW tensors are transposed at
+the data boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# reference dropoutlayer.py default p = 0.3 (drop probability)
+DROPOUT_RATE = 0.3
+
+he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+xavier_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+def max_pool(x, window: Tuple[int, int]):
+    """Max pool with VALID padding (floors odd extents, like Theano
+    pool_2d(ignore_border=True))."""
+    if window == (1, 1):
+        return x
+    return nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
+
+
+class ConvPool(nn.Module):
+    """conv(valid) -> maxpool -> ReLU: reference ConvPoolLayer
+    (convpoollayer.py:39-305)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    pool: Tuple[int, int]
+    activation: Optional[Callable] = nn.relu
+    padding: str = "VALID"
+    stride: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.stride,
+            padding=self.padding,
+            kernel_init=he_init,
+            dtype=self.dtype,
+        )(x)
+        x = max_pool(x, self.pool)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class MLPHead(nn.Module):
+    """FC(1024)-drop-FC(1024)-drop-FC(out) regression head, the shared tail
+    of PoseRegNet/ScaleNet (poseregnet.py:100-143, scalenet.py:49-132).
+
+    `embedding` inserts the reference's 30-D linear bottleneck before the
+    final linear decode (poseregnet.py type 11, resnet.py types 1/4).  The
+    flagship embedding training instead sets out_dim=30 directly and appends
+    the fixed PCA decode post-training (main_nyu_posereg_embedding.py:148-158,
+    see prior.PCAPrior.decode)."""
+
+    out_dim: int
+    hidden: int = 1024
+    dropout: bool = True
+    embedding: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x.reshape((x.shape[0], -1))
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x))
+        if self.dropout:
+            x = nn.Dropout(DROPOUT_RATE, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x))
+        if self.dropout:
+            x = nn.Dropout(DROPOUT_RATE, deterministic=deterministic)(x)
+        if self.embedding is not None:
+            x = nn.Dense(self.embedding, kernel_init=xavier_init, dtype=self.dtype)(x)
+        x = nn.Dense(self.out_dim, kernel_init=xavier_init, dtype=self.dtype)(x)
+        return x

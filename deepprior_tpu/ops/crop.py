@@ -1,0 +1,331 @@
+"""The metric-cube hand crop as a fused, batched affine-warp.
+
+The reference implements the crop as per-image dynamic slicing + padding +
+cv2 resize + center-embed (`HandDetector.cropArea3D`, reference
+src/util/handdetector.py:382-490).  Dynamic shapes are hostile to XLA, so
+this module re-derives the same numerics as a single static-shape pass:
+
+  1. `com_to_bounds`   — CoM + metric cube -> pixel bbox + z-range
+                         (handdetector.py:204-226 semantics, incl. the
+                         floor(x + 0.5) rounding and the center-crop
+                         fallback for an ill-defined CoM)
+  2. `crop_transform`  — the 3x3 affine M mapping full-frame pixel coords to
+                         crop coords: translate -> uniform scale ->
+                         center-embed offset (handdetector.py:447-477,
+                         including the integer floors of the embedded size)
+  3. `crop3d`          — for every output pixel, invert M analytically,
+                         gather the source depth (nearest-neighbor, matching
+                         cv2.INTER_NEAREST's floor(dst*scale) indexing),
+                         apply padding + z-thresholding
+                         (handdetector.py:260-296) in one fused gather
+  4. `normalize_crop`  — depth -> [-1, 1] (or [0, 1]) normalization
+                         (reference src/data/dataset.py:92-103)
+
+Everything is batched over a leading B axis and differentiably irrelevant
+(pure data movement), so XLA fuses steps 3-4 into one kernel.  A Pallas
+fast path for very large batches lives in ops/pallas_crop.py.
+
+Known deviations from the reference (documented, by design):
+- The minor-axis resize scale: cv2.resize uses hb/floor(hb*128/wb) on the
+  minor axis while the reference's own transform matrix M uses 128/wb for
+  both axes; we sample through M, so our crops are exactly self-consistent
+  with M (the reference's crops are off by <1px on the minor axis w.r.t.
+  its own M).
+- `comToTransform` (handdetector.py:228-258) swaps the embed offsets of the
+  x/y axes relative to `cropArea3D` (a latent defect, invisible when the
+  crop bbox is square). We use the `cropArea3D` semantics everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CropConfig(NamedTuple):
+    """Static crop parameters."""
+
+    dsize: Tuple[int, int] = (128, 128)  # output (width, height)
+    min_depth_floor: float = 10.0  # reference handdetector.py:58
+    max_depth_ceil: float = 1500.0  # reference handdetector.py:57
+
+
+def clamp_depth(dpt, cfg: CropConfig = CropConfig()):
+    """Zero out-of-range depth, per image.
+
+    Mirrors the HandDetector constructor (handdetector.py:56-61):
+    max_depth = min(1500, dpt.max()), min_depth = max(10, dpt.min()),
+    out-of-range pixels -> 0.
+
+    dpt: (..., H, W).  Returns (cleaned dpt, min_depth, max_depth) where the
+    depth limits have shape (...,).
+    """
+    dpt = jnp.asarray(dpt, jnp.float32)
+    max_d = jnp.minimum(cfg.max_depth_ceil, jnp.max(dpt, axis=(-2, -1)))
+    min_d = jnp.maximum(cfg.min_depth_floor, jnp.min(dpt, axis=(-2, -1)))
+    keep = (dpt >= min_d[..., None, None]) & (dpt <= max_d[..., None, None])
+    return jnp.where(keep, dpt, 0.0), min_d, max_d
+
+
+def com_to_bounds(com, cube, fx, fy, img_hw, min_depth=10.0, max_depth=1500.0):
+    """CoM (u, v, d) + metric cube (mm) -> crop bounds.
+
+    Returns (xstart, xend, ystart, yend) as float32 (integer-valued) and
+    (zstart, zend).  Uses the reference's floor(x + 0.5) rounding
+    (handdetector.py:220-225) and falls back to a centered half-frame crop
+    when com_z ~ 0 (handdetector.py:211-218; note the reference indexes the
+    fallback with dpt.shape[0] for x and shape[1] for y — another latent
+    swap; we reproduce its *intent*: a centered crop, using the proper axes).
+
+    com: (..., 3); cube: (..., 3) or (3,); img_hw: static (H, W).
+    """
+    com = jnp.asarray(com, jnp.float32)
+    cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
+    h, w = img_hw
+    u, v, d = com[..., 0], com[..., 1], com[..., 2]
+    sx, sy, sz = cube[..., 0], cube[..., 1], cube[..., 2]
+
+    safe_d = jnp.where(jnp.isclose(d, 0.0), 1.0, d)
+    xstart = jnp.floor((u * safe_d / fx - sx / 2.0) / safe_d * fx + 0.5)
+    xend = jnp.floor((u * safe_d / fx + sx / 2.0) / safe_d * fx + 0.5)
+    ystart = jnp.floor((v * safe_d / fy - sy / 2.0) / safe_d * fy + 0.5)
+    yend = jnp.floor((v * safe_d / fy + sy / 2.0) / safe_d * fy + 0.5)
+    zstart = d - sz / 2.0
+    zend = d + sz / 2.0
+
+    ill = jnp.isclose(d, 0.0)
+    xstart = jnp.where(ill, w // 4, xstart)
+    xend = jnp.where(ill, w // 4 + w // 2, xend)
+    ystart = jnp.where(ill, h // 4, ystart)
+    yend = jnp.where(ill, h // 4 + h // 2, yend)
+    zstart = jnp.where(ill, min_depth, zstart)
+    zend = jnp.where(ill, max_depth, zend)
+    return xstart, xend, ystart, yend, zstart, zend
+
+
+def _embed_geometry(xstart, xend, ystart, yend, dsize):
+    """Aspect-preserving resize + center-embed geometry.
+
+    Mirrors cropArea3D (handdetector.py:447-452, 468-477): the crop bbox of
+    size (wb, hb) is resized by s = dsize/max(wb, hb) — the embedded size is
+    integer-floored — and centered in the dsize canvas.
+
+    Returns (scale, off_x, off_y, sz_w, sz_h).
+    """
+    dw, dh = dsize
+    wb = xend - xstart
+    hb = yend - ystart
+    wide = wb > hb
+    scale = jnp.where(wide, dw / wb, dh / hb)
+    # py2 integer division in the reference -> floor
+    sz_w = jnp.where(wide, float(dw), jnp.floor(wb * dh / hb))
+    sz_h = jnp.where(wide, jnp.floor(hb * dw / wb), float(dh))
+    off_x = jnp.floor(dw / 2.0 - sz_w / 2.0)
+    off_y = jnp.floor(dh / 2.0 - sz_h / 2.0)
+    return scale, off_x, off_y, sz_w, sz_h
+
+
+def crop_transform(com, cube, fx, fy, img_hw, dsize=(128, 128)):
+    """3x3 affine M: full-frame pixel coords -> crop pixel coords.
+
+    M = center_offset @ diag(s, s, 1) @ translate(-xstart, -ystart), the
+    transform returned by cropArea3D (handdetector.py:455-477) and applied
+    to labels as `gtcrop = transformPoints2D(gtorig, M)`.
+
+    Batched over leading axes of com/cube.  Returns (..., 3, 3) float32.
+    """
+    xstart, xend, ystart, yend, _, _ = com_to_bounds(com, cube, fx, fy, img_hw)
+    scale, off_x, off_y, _, _ = _embed_geometry(xstart, xend, ystart, yend, dsize)
+    zeros = jnp.zeros_like(scale)
+    ones = jnp.ones_like(scale)
+    row0 = jnp.stack([scale, zeros, -scale * xstart + off_x], axis=-1)
+    row1 = jnp.stack([zeros, scale, -scale * ystart + off_y], axis=-1)
+    row2 = jnp.stack([zeros, zeros, ones], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _gather2d(img, q, p):
+    """img: (H, W); q, p: integer index arrays (clipped). Returns img[q, p]."""
+    h, w = img.shape
+    qc = jnp.clip(q, 0, h - 1)
+    pc = jnp.clip(p, 0, w - 1)
+    return img[qc, pc]
+
+
+def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
+    """Fused cube crop of one depth map. See crop3d for the batched API."""
+    h, w = dpt.shape
+    dw, dh = dsize
+    xstart, xend, ystart, yend, zstart, zend = com_to_bounds(
+        com, cube, fx, fy, (h, w)
+    )
+    scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xstart, xend, ystart, yend, dsize)
+
+    # output pixel grid
+    u = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)
+
+    # inside the embedded (resized) region?  exact integer comparison — the
+    # canvas outside it is the ND background (handdetector.py:468-473)
+    in_embed = (u >= off_x) & (u < off_x + sz_w) & (v >= off_y) & (v < off_y + sz_h)
+
+    # invert M analytically: x = (u - off_x)/s + xstart
+    x = (u - off_x) / scale + xstart
+    y = (v - off_y) / scale + ystart
+
+    if use_bilinear:
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx_ = x - x0
+        fy_ = y - y0
+
+        def sample(qi, pi):
+            inb = (pi >= 0) & (pi < w) & (qi >= 0) & (qi < h)
+            val = _gather2d(dpt, qi.astype(jnp.int32), pi.astype(jnp.int32))
+            return jnp.where(inb, val, 0.0)
+
+        d00 = sample(y0, x0)
+        d01 = sample(y0, x0 + 1)
+        d10 = sample(y0 + 1, x0)
+        d11 = sample(y0 + 1, x0 + 1)
+        d = (
+            d00 * (1 - fx_) * (1 - fy_)
+            + d01 * fx_ * (1 - fy_)
+            + d10 * (1 - fx_) * fy_
+            + d11 * fx_ * fy_
+        )
+    else:
+        # cv2.INTER_NEAREST uses src = floor(dst * scale) (no half-pixel
+        # offsets) — handdetector.py:343-344 semantics through our M
+        p = jnp.floor(x)
+        q = jnp.floor(y)
+        in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
+        d = _gather2d(dpt, q.astype(jnp.int32), p.astype(jnp.int32))
+        # out-of-image parts of the bbox pad with 0 (handdetector.py:274-279)
+        d = jnp.where(in_img, d, 0.0)
+
+    # z-threshold (handdetector.py:291-295): near -> zstart, far -> 0
+    d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
+    d = jnp.where(d > zend, 0.0, d)
+
+    # outside the embedded region: ND background.  After the constructor's
+    # clamping the ND value is 0 (handdetector.py:122-130 returns the mode
+    # of the zeroed out-of-range pixels).
+    d = jnp.where(in_embed, d, 0.0)
+    return d, zstart, zend
+
+
+def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False):
+    """Batched fused cube crop: raw depth maps -> (B, dh, dw) mm patches.
+
+    Equivalent of `HandDetector.cropArea3D` (handdetector.py:382-490) minus
+    the optional docom/refineNet recrops (those live in ops/com.py and
+    compose with this).  Invalid/far/background pixels are 0; near pixels
+    are clamped to zstart.
+
+    dpt:  (B, H, W) float32, already clamped via `clamp_depth`
+    com:  (B, 3) in image coords (u, v, d)
+    cube: (B, 3) or (3,) metric cube in mm
+    Returns (crop_mm (B, dh, dw), M (B, 3, 3)).
+    """
+    dpt = jnp.asarray(dpt, jnp.float32)
+    com = jnp.asarray(com, jnp.float32)
+    cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
+    crop_fn = lambda d, c, cb: _crop3d_single(d, c, cb, fx, fy, dsize, use_bilinear)[0]
+    crop = jax.vmap(crop_fn)(dpt, com, cube)
+    m = crop_transform(com, cube, fx, fy, dpt.shape[-2:], dsize)
+    return crop, m
+
+
+def normalize_crop(crop_mm, com_z, cube_z, norm_zero_one=False):
+    """Depth (mm) crop -> normalized network input.
+
+    [-1, 1] mode (reference dataset.py:98-103): background (0) -> +1,
+    out = (d - com_z) / (cube_z/2).
+    [0, 1] mode (dataset.py:92-95): out = (d - (com_z - cube_z/2)) / cube_z.
+
+    com_z/cube_z broadcast against crop_mm's leading axes.
+    """
+    crop_mm = jnp.asarray(crop_mm, jnp.float32)
+    com_z = jnp.asarray(com_z, jnp.float32)[..., None, None]
+    cube_z = jnp.asarray(cube_z, jnp.float32)[..., None, None]
+    d = jnp.where(crop_mm == 0.0, com_z + cube_z / 2.0, crop_mm)
+    if norm_zero_one:
+        return (d - (com_z - cube_z / 2.0)) / cube_z
+    return (d - com_z) / (cube_z / 2.0)
+
+
+def normalized_crop(
+    dpt, com, cube, fx, fy, dsize=(128, 128), norm_zero_one=False, use_bilinear=False
+):
+    """Fused crop + normalize: the full inference-time preprocessing.
+
+    One XLA program: bounds -> warp-gather -> z-threshold -> normalize.
+    Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
+    """
+    crop, m = crop3d(dpt, com, cube, fx, fy, dsize, use_bilinear)
+    cube_b = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), jnp.asarray(com).shape)
+    return normalize_crop(crop, jnp.asarray(com)[..., 2], cube_b[..., 2], norm_zero_one), m
+
+
+def warp_patch(patch, m_fwd, out_hw=None, border=0.0, nv_val=None, use_bilinear=False):
+    """Warp an already-cropped patch by a forward 3x3 transform.
+
+    Equivalent of `HandDetector.recropHand`'s cv2.warpPerspective call
+    (handdetector.py:782-793): out(dst) = patch(m_fwd^-1 . dst) with
+    constant border, nearest sampling via round-to-nearest (cv2 warp
+    semantics, unlike resize's floor), and optional nv_val masking (values
+    close to nv_val -> border; the reference uses 32000, NYU's invalid
+    marker).  z-thresholding is the caller's job (augment.py).
+
+    patch: (..., H, W); m_fwd: (..., 3, 3) batched like patch.
+    """
+    patch = jnp.asarray(patch, jnp.float32)
+    m_fwd = jnp.asarray(m_fwd, jnp.float32)
+
+    def one(img, m):
+        h, w = img.shape
+        oh, ow = out_hw if out_hw is not None else (h, w)
+        m_inv = jnp.linalg.inv(m)
+        u = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+        v = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+        ones = jnp.ones_like(u)
+        src = jnp.einsum(
+            "ij,jhw->ihw", m_inv, jnp.stack([u, v, ones], axis=0)
+        )
+        x = src[0] / src[2]
+        y = src[1] / src[2]
+        if use_bilinear:
+            x0, y0 = jnp.floor(x), jnp.floor(y)
+            fx_, fy_ = x - x0, y - y0
+
+            def sample(qi, pi):
+                inb = (pi >= 0) & (pi < w) & (qi >= 0) & (qi < h)
+                val = _gather2d(img, qi.astype(jnp.int32), pi.astype(jnp.int32))
+                return jnp.where(inb, val, border)
+
+            out = (
+                sample(y0, x0) * (1 - fx_) * (1 - fy_)
+                + sample(y0, x0 + 1) * fx_ * (1 - fy_)
+                + sample(y0 + 1, x0) * (1 - fx_) * fy_
+                + sample(y0 + 1, x0 + 1) * fx_ * fy_
+            )
+        else:
+            p = jnp.floor(x + 0.5)
+            q = jnp.floor(y + 0.5)
+            in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
+            out = _gather2d(img, q.astype(jnp.int32), p.astype(jnp.int32))
+            out = jnp.where(in_img, out, border)
+        if nv_val is not None:
+            out = jnp.where(jnp.isclose(out, nv_val), border, out)
+        return out
+
+    batch_shape = patch.shape[:-2]
+    if batch_shape:
+        flat_p = patch.reshape((-1,) + patch.shape[-2:])
+        flat_m = m_fwd.reshape((-1, 3, 3))
+        out = jax.vmap(one)(flat_p, flat_m)
+        return out.reshape(batch_shape + out.shape[-2:])
+    return one(patch, m_fwd)

@@ -1,0 +1,85 @@
+"""Geometry transform tests (reference transformations.py parity)."""
+
+import numpy as np
+import pytest
+
+from deepprior_tpu.geometry import (
+    euler_rotation_matrix,
+    rotate_points_2d,
+    rotate_points_3d,
+    rotation_matrix_2d,
+    transform_points_2d,
+    transform_points_3d,
+)
+
+
+def _np_rotate_point_2d(p, center, angle_deg):
+    """Literal reference rotatePoint2D (transformations.py:71-89)."""
+    a = np.deg2rad(angle_deg)
+    pp = np.asarray(p, np.float64).copy()
+    pp[:2] -= center[:2]
+    out = pp.copy()
+    out[0] = pp[0] * np.cos(a) - pp[1] * np.sin(a)
+    out[1] = pp[0] * np.sin(a) + pp[1] * np.cos(a)
+    out[:2] += center[:2]
+    return out
+
+
+def test_rotate_points_2d_matches_reference(rng):
+    pts = rng.uniform(0, 300, (10, 3)).astype(np.float32)
+    center = np.array([160.0, 120.0])
+    for ang in [0.0, 30.0, -117.5, 180.0]:
+        ours = np.asarray(rotate_points_2d(pts, center, ang))
+        ref = np.stack([_np_rotate_point_2d(p, center, ang) for p in pts])
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_rotation_matrix_2d_consistent():
+    pts = np.array([[10.0, 20.0], [100.0, 50.0]])
+    center = np.array([30.0, 40.0])
+    m = np.asarray(rotation_matrix_2d(center, 42.0))
+    via_matrix = np.asarray(transform_points_2d(pts, m))
+    direct = np.asarray(rotate_points_2d(pts, center, 42.0))
+    np.testing.assert_allclose(via_matrix, direct, rtol=1e-5, atol=1e-4)
+
+
+def test_transform_points_2d_depth_passthrough():
+    m = np.array([[2.0, 0, 5.0], [0, 2.0, -3.0], [0, 0, 1.0]])
+    pts = np.array([[1.0, 2.0, 700.0]])
+    out = np.asarray(transform_points_2d(pts, m))
+    np.testing.assert_allclose(out, [[7.0, 1.0, 700.0]])
+
+
+def test_transform_points_3d():
+    m = np.eye(4)
+    m[:3, 3] = [1.0, 2.0, 3.0]
+    out = np.asarray(transform_points_3d(np.array([[0.0, 0.0, 0.0]]), m))
+    np.testing.assert_allclose(out, [[1.0, 2.0, 3.0]])
+
+
+def test_euler_rotation_matrix_axes():
+    # rotation about z by 90deg: x -> y
+    r = np.asarray(euler_rotation_matrix(0.0, 0.0, 90.0))
+    np.testing.assert_allclose(r @ np.array([1.0, 0, 0]), [0, 1.0, 0], atol=1e-6)
+    # rotation about x by 90deg: y -> z
+    r = np.asarray(euler_rotation_matrix(90.0, 0.0, 0.0))
+    np.testing.assert_allclose(r @ np.array([0, 1.0, 0]), [0, 0, 1.0], atol=1e-6)
+    # composition order rxyz: R = Rx @ Ry @ Rz
+    rx = np.asarray(euler_rotation_matrix(10.0, 0, 0))
+    ry = np.asarray(euler_rotation_matrix(0, 20.0, 0))
+    rz = np.asarray(euler_rotation_matrix(0, 0, 30.0))
+    r = np.asarray(euler_rotation_matrix(10.0, 20.0, 30.0))
+    np.testing.assert_allclose(r, rx @ ry @ rz, atol=1e-6)
+
+
+def test_rotate_points_3d_roundtrip(rng):
+    pts = rng.uniform(-100, 100, (5, 3)).astype(np.float32)
+    center = np.array([10.0, -5.0, 600.0], np.float32)
+    fwd = np.asarray(rotate_points_3d(pts, center, 15.0, -30.0, 45.0))
+    # inverse: transpose rotation = rotate by inverse angles in reverse order
+    r = np.asarray(euler_rotation_matrix(15.0, -30.0, 45.0))
+    back = (fwd - center) @ r + center  # (R^T x) via x @ R
+    np.testing.assert_allclose(back, pts, rtol=1e-4, atol=1e-3)
+    # center is a fixed point
+    c = np.asarray(rotate_points_3d(center[None], center, 15.0, -30.0, 45.0))
+    np.testing.assert_allclose(c[0], center, atol=1e-4)
