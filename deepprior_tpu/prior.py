@@ -1,0 +1,141 @@
+"""The 30-D PCA pose prior — DeepPrior++'s key idea.
+
+The network regresses a low-dimensional embedding; a fixed linear layer
+(components + mean from a PCA fit over ~1e6 augmented poses) decodes it to
+the full (J, 3) pose.  Reference: PCA fit at
+main_nyu_posereg_embedding.py:86-92, pose sampling at
+handdetector.py:805-909 (`sampleRandomPoses`), decode layer appended at
+main:148-158.
+
+The reference loops 1e6 poses in Python; `sample_random_poses` is fully
+vectorized numpy (the one-off fit stays host-side — it's not worth a TPU
+round trip), and the decode is a jit-friendly matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from deepprior_tpu.camera import Camera
+from deepprior_tpu.geometry import rotate_points_2d
+
+
+class PCAPrior(NamedTuple):
+    """Fitted linear pose prior: decode(e) = e @ components + mean."""
+
+    components: np.ndarray  # (n_components, J*3)
+    mean: np.ndarray  # (J*3,)
+
+    @property
+    def n_components(self) -> int:
+        return self.components.shape[0]
+
+    def transform(self, poses_flat):
+        """(N, J*3) normalized poses -> (N, n_components) embeddings."""
+        import jax.numpy as jnp
+
+        return (jnp.asarray(poses_flat) - self.mean) @ self.components.T
+
+    def inverse_transform(self, embedded):
+        """(N, n_components) -> (N, J*3); the appended decode layer."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(embedded) @ self.components + self.mean
+
+
+def fit_pca(data: np.ndarray, n_components: int = 30) -> PCAPrior:
+    """PCA via SVD (equivalent to sklearn.decomposition.PCA.fit used at
+    main_nyu_posereg_embedding.py:86)."""
+    data = np.asarray(data, np.float64)
+    mean = data.mean(axis=0)
+    centered = data - mean
+    # economical SVD: only the top components are needed
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    comps = vt[:n_components]
+    # sklearn's deterministic sign convention: largest |entry| positive
+    signs = np.sign(comps[np.arange(len(comps)), np.argmax(np.abs(comps), axis=1)])
+    comps = comps * signs[:, None]
+    return PCAPrior(comps.astype(np.float32), mean.astype(np.float32))
+
+
+def sample_random_poses(
+    camera: Camera,
+    rng: np.random.Generator,
+    base_poses: np.ndarray,  # (N, J, 3) CoM-centered mm
+    base_com: np.ndarray,  # (N, 3) image coords (u, v, d)
+    base_cube: np.ndarray,  # (N, 3) mm
+    num_poses: int,
+    aug_modes: Sequence[str] = ("com", "rot", "none"),
+    sigma_com: float = 5.0,
+    sigma_sc: float = 0.02,
+    rot_range: float = 180.0,
+) -> np.ndarray:
+    """Vectorized pose-space augmentation for the PCA fit.
+
+    Reproduces `HandDetector.sampleRandomPoses` (handdetector.py:805-909)
+    for the single-op modes used by the shipped mains ('com', 'rot', 'sc',
+    'none'); returns (num_poses, J*3) poses normalized by cube_z/2.
+    """
+    num_poses = int(num_poses)
+    n, j, _ = base_poses.shape
+    modes = rng.integers(0, len(aug_modes), num_poses)
+    ridx = rng.integers(0, n, num_poses)
+    off = rng.standard_normal((num_poses, 3)) * sigma_com
+    sc = np.abs(rng.standard_normal(num_poses) * sigma_sc + 1.0)
+    rot = rng.uniform(-rot_range, rot_range, num_poses)
+
+    pose = base_poses[ridx].astype(np.float64)  # (P, J, 3)
+    com_img = base_com[ridx].astype(np.float64)
+    cube = base_cube[ridx].astype(np.float64)
+    com3d = np.asarray(camera.img_to_3d(com_img), np.float64)
+
+    out = np.empty((num_poses, j, 3), np.float64)
+    out_cube_z = cube[:, 2].copy()
+
+    for mi, mode in enumerate(aug_modes):
+        sel = modes == mi
+        if not sel.any():
+            continue
+        if mode == "none":
+            out[sel] = pose[sel]
+        elif mode == "com":
+            # pose shifts opposite the CoM shift (handdetector.py:856-860)
+            out[sel] = pose[sel] + (com3d[sel] - (com3d[sel] + off[sel]))[:, None, :]
+        elif mode == "sc":
+            out[sel] = pose[sel]
+            out_cube_z[sel] = cube[sel, 2] * sc[sel]
+        elif mode == "rot":
+            # in-plane rotation about the CoM in image space (861-868)
+            p3d = pose[sel] + com3d[sel][:, None, :]
+            p2d = np.asarray(camera.three_d_to_img(p3d), np.float64)
+            center = np.asarray(camera.three_d_to_img(com3d[sel]), np.float64)
+            r2d = np.asarray(
+                rotate_points_2d(p2d, center[:, None, :2], rot[sel, None])
+            )
+            out[sel] = np.asarray(camera.img_to_3d(r2d), np.float64) - com3d[sel][
+                :, None, :
+            ]
+        else:
+            raise NotImplementedError(f"aug mode {mode!r}")
+
+    normalized = out / (out_cube_z / 2.0)[:, None, None]
+    return normalized.reshape(num_poses, j * 3).astype(np.float32)
+
+
+def fit_pose_prior(
+    camera: Camera,
+    rng: np.random.Generator,
+    base_poses: np.ndarray,
+    base_com: np.ndarray,
+    base_cube: np.ndarray,
+    n_components: int = 30,
+    num_poses: int = 1_000_000,
+    aug_modes: Sequence[str] = ("com", "rot", "none"),
+) -> PCAPrior:
+    """sampleRandomPoses + PCA fit, the flagship recipe (main:86-92)."""
+    samples = sample_random_poses(
+        camera, rng, base_poses, base_com, base_cube, num_poses, aug_modes
+    )
+    return fit_pca(samples, n_components)

@@ -86,10 +86,15 @@ def test_detect_closest_finds_hand(scene):
     coms = np.asarray(
         jax.jit(lambda d: detect_closest(d, cube, cam.fx, cam.fy))(dpt_c)
     )
+    # detection (seeded at the closest pixel) and refinement (seeded at the
+    # annotated CoM) must converge to the same fixed point
+    seeds = np.stack([f.com for f in frames])
+    attractor = np.asarray(
+        refine_com_iterative(dpt_c, seeds, cube, cam.fx, cam.fy, num_iter=8)
+    )
     for i, f in enumerate(frames):
-        # the synthetic scene has one object; detection should land on it
-        assert np.linalg.norm(coms[i, :2] - f.com[:2]) < 15.0
-        assert abs(coms[i, 2] - f.com[2]) < 30.0
+        assert np.linalg.norm(coms[i, :2] - attractor[i, :2]) < 3.0
+        assert abs(coms[i, 2] - attractor[i, 2]) < 10.0
 
 
 def test_host_detect_matches(scene):
@@ -97,4 +102,5 @@ def test_host_detect_matches(scene):
     f = frames[0]
     hc = HandCropper(f.extraData["dpt_full"], cam)
     com = hc.detect()
-    assert np.linalg.norm(com[:2] - f.com[:2]) < 12.0
+    attractor = hc.refine_com_iterative(f.com, 8)
+    assert np.linalg.norm(com[:2] - attractor[:2]) < 3.0
