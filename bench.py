@@ -1,0 +1,83 @@
+"""Benchmark: fused crop+regress inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "fused_crop_regress_fps", "value": N, "unit": "fps",
+   "vs_baseline": N / 30.0}
+
+Baseline: the reference's realtime pipeline claims > 30 fps on a 2017 GPU
+(BASELINE.md; reference realtimehandposepipeline.py:459-462 measures fps at
+runtime).  The rebuild target is > 10,000 fps/chip for the fused
+crop+regress path (BASELINE.json north star).
+
+The benchmark replays synthetic NYU-sized depth frames (640x480) through
+the full fused program: clamp -> cube crop+normalize -> PoseRegNet(30-D
+embedding, bf16 compute) -> PCA decode -> denormalize to mm joints.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.data.synthetic import make_frame
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import PCAPrior
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    cam = NYU_CAMERA
+    batch = 1024
+    n_unique = 16
+
+    rng = np.random.default_rng(23455)
+    frames = [make_frame(cam, rng, num_joints=14) for _ in range(n_unique)]
+    depth = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    reps = batch // n_unique
+    depth = np.tile(depth, (reps, 1, 1))
+    com = np.tile(com, (reps, 1))
+
+    model = PoseRegNet(
+        PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    prior = PCAPrior(
+        components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+        mean=np.zeros(42, np.float32),
+    )
+    est = FusedEstimator(model, cam, prior=prior, refine_iters=0)
+
+    depth_d = jax.device_put(jnp.asarray(depth))
+    com_d = jax.device_put(jnp.asarray(com))
+
+    # warmup / compile
+    joints, _, _ = est(variables, depth_d, com_d)
+    joints.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        joints, _, _ = est(variables, depth_d, com_d)
+    joints.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fused_crop_regress_fps",
+                "value": round(fps, 1),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Evaluation layer: metric suite, per-dataset skeletons, plots."""
+
+from deepprior_tpu.eval.metrics import HandposeEvaluation
+from deepprior_tpu.eval.datasets import (
+    ICVLHandposeEvaluation,
+    MSRAHandposeEvaluation,
+    NYUHandposeEvaluation,
+    evaluation_for,
+)
+
+__all__ = [
+    "HandposeEvaluation",
+    "ICVLHandposeEvaluation",
+    "NYUHandposeEvaluation",
+    "MSRAHandposeEvaluation",
+    "evaluation_for",
+]

@@ -171,9 +171,15 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
     # canvas outside it is the ND background (handdetector.py:468-473)
     in_embed = (u >= off_x) & (u < off_x + sz_w) & (v >= off_y) & (v < off_y + sz_h)
 
-    # invert M analytically: x = (u - off_x)/s + xstart
-    x = (u - off_x) / scale + xstart
-    y = (v - off_y) / scale + ystart
+    # Per-axis source mapping matching cv2.resize exactly: the resize maps
+    # through (wb/sz_w, hb/sz_h) — with the *floored* integer sz — which on
+    # the minor axis differs from the single scale recorded in M (the
+    # reference has the same M-vs-resize inconsistency; the pixels follow
+    # cv2, the labels follow M, and we reproduce both).
+    wb = xend - xstart
+    hb = yend - ystart
+    x = (u - off_x) * (wb / sz_w) + xstart
+    y = (v - off_y) * (hb / sz_h) + ystart
 
     if use_bilinear:
         x0 = jnp.floor(x)

@@ -1,0 +1,74 @@
+"""Distributed trainer: data-parallel batches + tensor-parallel FC layers.
+
+The capability upgrade over the reference (SURVEY.md §2.8): the jitted
+epoch from train/trainer.py runs unchanged under GSPMD — parameters are
+placed per parallel.mesh.param_shardings (wide Dense layers TP-sharded,
+everything else replicated), every gathered batch tensor is constrained to
+shard over 'dp', and XLA inserts the gradient psum over ICI automatically.
+
+Works identically on a real multi-chip mesh and on the CPU-simulated mesh
+used by tests (XLA_FLAGS=--xla_force_host_platform_device_count=N).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepprior_tpu.camera import Camera
+from deepprior_tpu.parallel.mesh import param_shardings, replicated
+from deepprior_tpu.prior import PCAPrior
+from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer, TrainState
+
+
+class DistributedTrainer(Trainer):
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        camera: Camera,
+        mesh: Mesh,
+        prior: Optional[PCAPrior] = None,
+    ):
+        super().__init__(model, cfg, camera, prior=prior)
+        self.mesh = mesh
+        if cfg.batch_size % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by dp={mesh.shape['dp']}"
+            )
+
+        def constrain(x):
+            spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        self.shard_batch = constrain
+
+    def init_state(self, example_crops) -> TrainState:
+        state = super().init_state(example_crops)
+        shardings = param_shardings(state.params, self.mesh)
+        params = jax.device_put(jax.device_get(state.params), shardings)
+        batch_stats = jax.device_put(
+            jax.device_get(state.batch_stats), replicated(self.mesh)
+        )
+        # optimizer moments are zeros_like(params): they inherit the sharding
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def place_data(self, data: TrainData) -> TrainData:
+        """Replicate the training tensors across the mesh.
+
+        The per-step random gather draws arbitrary indices, so the source
+        arrays replicate (HBM is ample for these datasets); the gathered
+        *batch* shards over dp via the constraint hook.  For sets larger
+        than per-chip HBM, shard the N axis here and switch the trainer to
+        per-shard index streams.
+        """
+        return TrainData(*(jax.device_put(x, replicated(self.mesh)) for x in data))

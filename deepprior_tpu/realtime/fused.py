@@ -1,0 +1,94 @@
+"""The fused inference program: depth frame -> 3D joints, one XLA program.
+
+The reference splits this across two processes (producer: detect+crop,
+consumer: CNN+denormalize — reference
+src/util/realtimehandposepipeline.py:133-219) because host preprocessing
+was slow.  On TPU the whole chain is one jitted program over a batch:
+
+  clamp -> (optional CoM detect / iterative refine) -> fused cube crop +
+  normalize (ops/crop) -> regressor -> (optional PCA decode) ->
+  denormalize (x * cube_z/2 + com3D)
+
+The denormalization mirrors the consumer thread
+(realtimehandposepipeline.py:199-205) and the test-time decode of the main
+scripts (main_nyu_posereg_embedding.py:171-175).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deepprior_tpu.camera import Camera
+from deepprior_tpu.ops.com import detect_closest, refine_com_iterative
+from deepprior_tpu.ops.crop import clamp_depth, normalized_crop
+from deepprior_tpu.prior import PCAPrior
+
+
+class FusedEstimator:
+    """Compiles the full frame->pose pipeline once; applies it per batch.
+
+    model_apply(variables, crops_bhw1) -> (B, out) embeddings or poses.
+    """
+
+    def __init__(
+        self,
+        model,
+        camera: Camera,
+        cube=(250.0, 250.0, 250.0),
+        prior: Optional[PCAPrior] = None,
+        num_joints: Optional[int] = None,
+        dsize=(128, 128),
+        refine_iters: int = 0,
+        detect: bool = False,
+    ):
+        self.model = model
+        self.camera = camera
+        self.cube = jnp.asarray(cube, jnp.float32)
+        self.prior = prior
+        self.num_joints = num_joints
+        self.dsize = dsize
+        self.refine_iters = refine_iters
+        self.detect = detect
+        self._fn = jax.jit(self._pipeline)
+
+    # ------------------------------------------------------------------
+    def _pipeline(self, variables, depth, com):
+        """depth: (B, H, W) raw mm; com: (B, 3) image coords (ignored when
+        self.detect).  Returns (joints3d_mm (B, J, 3), com3d, crops)."""
+        cam = self.camera
+        depth, _, _ = clamp_depth(depth)
+        if self.detect:
+            com = detect_closest(depth, self.cube, cam.fx, cam.fy)
+        elif self.refine_iters:
+            com = refine_com_iterative(
+                depth, com, self.cube, cam.fx, cam.fy, self.refine_iters
+            )
+        crops, _ = normalized_crop(depth, com, self.cube, cam.fx, cam.fy, self.dsize)
+        out = self.model.apply(variables, crops[..., None], train=False)
+        if self.prior is not None:
+            out = out @ self.prior.components + self.prior.mean
+        pose = out.reshape(out.shape[0], -1, 3)
+        com3d = cam.img_to_3d(com)
+        joints = pose * (self.cube[2] / 2.0) + com3d[:, None, :]
+        return joints, com3d, crops
+
+    def __call__(self, variables, depth, com=None):
+        if com is None:
+            b = depth.shape[0]
+            com = jnp.zeros((b, 3), jnp.float32)
+        return self._fn(variables, depth, com)
+
+    # ------------------------------------------------------------------
+    def aot_compile(self, variables, batch: int, hw: Tuple[int, int]):
+        """Ahead-of-time compile for a fixed batch/frame shape; returns the
+        compiled executable (useful for latency-critical batch-1 serving)."""
+        depth = jax.ShapeDtypeStruct((batch,) + hw, jnp.float32)
+        com = jax.ShapeDtypeStruct((batch, 3), jnp.float32)
+        var_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
+        )
+        return self._fn.lower(var_shapes, depth, com).compile()

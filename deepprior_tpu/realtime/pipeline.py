@@ -1,0 +1,277 @@
+"""Realtime hand-pose pipeline: capture -> detect -> regress -> display.
+
+Reference: src/util/realtimehandposepipeline.py:49-534.  The reference runs
+producer (capture+detect) and consumer (CNN+display) as separate processes
+over a Manager dict, compiling the nets twice.  Here the compute path is
+the single fused XLA program (realtime/fused.FusedEstimator) compiled once;
+the host side keeps the same state machine (IDLE/INIT/RUN), tracking
+vs. detection modes, hand-size calibration, and threaded producer/consumer
+split (threads, not processes — the device does the heavy work, the GIL is
+irrelevant, and frame handoff is a lock-protected slot like the reference's
+sync dict).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from deepprior_tpu.camera import Camera
+from deepprior_tpu.data.detector_np import HandCropper
+from deepprior_tpu.eval.datasets import evaluation_for
+from deepprior_tpu.geometry import transform_points_2d
+from deepprior_tpu.realtime.fused import FusedEstimator
+
+STATE_IDLE = 0
+STATE_INIT = 1
+STATE_RUN = 2
+
+HAND_LEFT = 0
+HAND_RIGHT = 1
+
+
+class RealtimeHandposePipeline:
+    def __init__(
+        self,
+        estimator: FusedEstimator,
+        variables,
+        config: Dict[str, Any],
+        camera: Optional[Camera] = None,
+        verbose: bool = False,
+    ):
+        """config mirrors the reference dict: {'fx','fy','cube'
+        [,'invX','invY']} (test_realtimepipeline.py:65-67)."""
+        self.estimator = estimator
+        self.variables = variables
+        self.config = dict(config)
+        self.camera = camera or estimator.camera
+        self.verbose = verbose
+
+        # state machine (realtimehandposepipeline.py:54-109)
+        self.state = STATE_IDLE
+        self.hand = HAND_RIGHT
+        self.tracking = False
+        self.lastcom = np.zeros(3, np.float32)
+        self.hand_sizes: list = []
+        self.num_init_frames = 50
+        self.stop_flag = threading.Event()
+
+        # producer/consumer shared slot (the Manager-dict equivalent)
+        self._lock = threading.Lock()
+        self._slot: Optional[Dict[str, Any]] = None
+        self._fid = 0
+
+        # instrumentation (reference prints per-stage ms + running fps,
+        # realtimehandposepipeline.py:160-166, 199-214, 447-462)
+        self.times: Dict[str, float] = {"detect": 0.0, "pose": 0.0}
+        self._fps_hist: list = []
+
+    # ------------------------------------------------------------------
+    def detect(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side detection/tracking -> (com, crop transform M).
+
+        Mirrors realtimehandposepipeline.py:296-337: track around the last
+        CoM when tracking is on, otherwise full detection; INIT state
+        calibrates the cube from median hand size over 50 frames.
+        """
+        t0 = time.perf_counter()
+        hc = HandCropper(frame, self.camera)
+        cube = tuple(self.config["cube"])
+        if self.tracking and not np.allclose(self.lastcom, 0.0):
+            com = hc.refine_com_iterative(self.lastcom, 3, cube)
+        else:
+            com = hc.detect(cube)
+        self.lastcom = com
+
+        if self.state == STATE_INIT and not np.allclose(com, 0.0):
+            self.hand_sizes.append(hc.estimate_hand_size(com, cube))
+            if len(self.hand_sizes) >= self.num_init_frames:
+                med = tuple(np.median(np.asarray(self.hand_sizes), axis=0))
+                self.config["cube"] = med
+                self.hand_sizes = []
+                self.state = STATE_RUN
+        self.times["detect"] = time.perf_counter() - t0
+        return com, cube
+
+    # ------------------------------------------------------------------
+    def estimate_pose(self, frame: np.ndarray, com: np.ndarray) -> np.ndarray:
+        """Device-side: fused crop+regress+decode at batch 1
+        (realtimehandposepipeline.py:339-370 estimatePose + denormalize).
+        Left hands mirror the crop before regression."""
+        t0 = time.perf_counter()
+        import jax.numpy as jnp
+
+        f = frame
+        c = com.copy()
+        if self.hand == HAND_LEFT:
+            f = f[:, ::-1]
+            c = c.copy()
+            c[0] = f.shape[1] - 1 - c[0]
+        joints, com3d, crops = self.estimator(
+            self.variables, jnp.asarray(f[None]), jnp.asarray(c[None])
+        )
+        joints = np.asarray(joints)[0]
+        if self.hand == HAND_LEFT:
+            joints[:, 0] *= -1.0
+        if self.config.get("invX", False):
+            joints[:, 0] *= -1.0
+        if self.config.get("invY", False):
+            joints[:, 1] *= -1.0
+        self.times["pose"] = time.perf_counter() - t0
+        return joints
+
+    # ------------------------------------------------------------------
+    def process_frame(self, frame: np.ndarray) -> Optional[Dict[str, Any]]:
+        """Single-threaded variant of one producer+consumer iteration
+        (processVideo, realtimehandposepipeline.py:262-294)."""
+        com, cube = self.detect(frame)
+        if np.allclose(com, 0.0):
+            return None
+        joints = self.estimate_pose(frame, com)
+        self._fps_hist.append(time.perf_counter())
+        self._fps_hist = self._fps_hist[-100:]
+        return {
+            "frame": frame,
+            "com": com,
+            "joints3d": joints,
+            "cube": cube,
+            "fps": self.fps(),
+        }
+
+    def fps(self) -> float:
+        """100-frame running-average fps (realtimehandposepipeline.py:447-462)."""
+        if len(self._fps_hist) < 2:
+            return 0.0
+        dt = self._fps_hist[-1] - self._fps_hist[0]
+        return (len(self._fps_hist) - 1) / dt if dt > 0 else 0.0
+
+    # ------------------------------------------------------------------
+    def _producer(self, device, max_frames):
+        n = 0
+        while not self.stop_flag.is_set() and n < max_frames:
+            ok, frame = device.getDepth()
+            if not ok:
+                time.sleep(0.005)  # camera retry (reference :156-159)
+                continue
+            com, cube = self.detect(frame)
+            with self._lock:
+                self._fid += 1
+                self._slot = {"fid": self._fid, "frame": frame, "com": com,
+                              "cube": cube}
+            n += 1
+        self.stop_flag.set()
+
+    def _consumer(self, results, max_frames):
+        seen = 0
+        last_fid = -1
+        while not self.stop_flag.is_set() or last_fid < self._fid:
+            with self._lock:
+                slot = self._slot
+            if slot is None or slot["fid"] == last_fid:
+                if self.stop_flag.is_set():
+                    break
+                time.sleep(0.001)
+                continue
+            last_fid = slot["fid"]
+            if np.allclose(slot["com"], 0.0):
+                continue
+            joints = self.estimate_pose(slot["frame"], slot["com"])
+            self._fps_hist.append(time.perf_counter())
+            self._fps_hist = self._fps_hist[-100:]
+            results.append({"fid": slot["fid"], "joints3d": joints,
+                            "com": slot["com"], "fps": self.fps()})
+            seen += 1
+            if seen >= max_frames:
+                break
+        self.stop_flag.set()
+
+    def process_video_threaded(self, device, max_frames: int = 100):
+        """Producer/consumer threads over a shared slot
+        (processVideoThreaded, realtimehandposepipeline.py:221-238).
+        Returns the consumer's results list."""
+        self.stop_flag.clear()
+        results: list = []
+        device.start()
+        prod = threading.Thread(target=self._producer, args=(device, max_frames))
+        cons = threading.Thread(target=self._consumer, args=(results, max_frames))
+        prod.start()
+        cons.start()
+        prod.join()
+        cons.join()
+        device.stop()
+        return results
+
+    def process_video(self, device, max_frames: int = 100):
+        """Single-loop variant (processVideo)."""
+        device.start()
+        results = []
+        n = 0
+        while n < max_frames:
+            ok, frame = device.getDepth()
+            if not ok:
+                break
+            out = self.process_frame(frame)
+            if out is not None:
+                results.append(out)
+            n += 1
+        device.stop()
+        return results
+
+    # ------------------------------------------------------------------
+    def process_key(self, key: str) -> bool:
+        """Keyboard control (processKey, realtimehandposepipeline.py:~490):
+        q=quit, h=switch hand, +/-=cube size, r=reset, i=init-calibrate,
+        t=toggle tracking.  Returns False to quit."""
+        if key == "q":
+            return False
+        if key == "h":
+            self.hand = HAND_LEFT if self.hand == HAND_RIGHT else HAND_RIGHT
+        elif key == "+":
+            self.config["cube"] = tuple(c + 10.0 for c in self.config["cube"])
+        elif key == "-":
+            self.config["cube"] = tuple(c - 10.0 for c in self.config["cube"])
+        elif key == "r":
+            self.reset()
+        elif key == "i":
+            self.state = STATE_INIT
+            self.hand_sizes = []
+        elif key == "t":
+            self.tracking = not self.tracking
+        return True
+
+    def reset(self):
+        self.state = STATE_IDLE
+        self.lastcom = np.zeros(3, np.float32)
+        self.tracking = False
+        self.hand_sizes = []
+
+    # ------------------------------------------------------------------
+    def show(self, result: Dict[str, Any]) -> np.ndarray:
+        """Render the skeleton overlay into an RGB array (the reference
+        draws with cv2.imshow, realtimehandposepipeline.py:372-446; we
+        return the image so callers choose the sink)."""
+        frame = result["frame"]
+        joints3d = result["joints3d"]
+        uvd = np.asarray(self.camera.three_d_to_img(joints3d))
+        ev_cls = evaluation_for(joints3d.shape[0])
+        lo, hi = frame[frame > 0].min() if (frame > 0).any() else 0.0, max(
+            frame.max(), 1.0
+        )
+        norm = np.clip((frame - lo) / max(hi - lo, 1e-6), 0, 1)
+        img = np.stack([norm * 255] * 3, axis=-1).astype(np.uint8)
+        h, w = frame.shape
+        for a, b in ev_cls.joint_connections if ev_cls.joint_connections else []:
+            pa, pb = uvd[a], uvd[b]
+            n = int(max(abs(pb[0] - pa[0]), abs(pb[1] - pa[1])) + 1)
+            us = np.linspace(pa[0], pb[0], n).astype(int)
+            vs = np.linspace(pa[1], pb[1], n).astype(int)
+            ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+            img[vs[ok], us[ok]] = [0, 255, 0]
+        for u, v, _ in uvd:
+            ui, vi = int(u), int(v)
+            if 0 <= ui < w and 0 <= vi < h:
+                img[max(0, vi - 1) : vi + 2, max(0, ui - 1) : ui + 2] = [255, 0, 0]
+        return img

@@ -1,0 +1,412 @@
+"""The jitted trainer: on-device data, augmentation, and optimization.
+
+TPU-native replacement for the reference `NetTrainer` (reference
+src/trainer/nettrainer.py:75-997).  The reference's machinery — GPU-sized
+macro batches swapped via shared variables, a pool of augmentation worker
+processes, a double-buffered loader process — existed because host
+augmentation and GPU memory were the bottleneck.  Here:
+
+- the full training set lives in HBM as device arrays (a 72k-frame NYU
+  import is ~4.5 GB fp32 crops; fits comfortably on one chip, and shards
+  across the mesh for larger sets — see parallel/),
+- each epoch is ONE `lax.scan` over minibatches, compiled once: gather ->
+  augment (ops/augment) -> PCA-project targets -> forward/backward ->
+  ADAM update.  Zero host round trips inside an epoch.
+- validation observers (cost, joint error, PCA-decoded mm error — reference
+  poseregnettrainer.py:122-126), NaN sentinels (nettrainer.py:844-848,
+  909-917), snapshot cadence and best-weights early stopping
+  (nettrainer.py:816-820, 884-902) are preserved at the epoch boundary.
+
+Loss semantics match poseregnettrainer.py:92-101 exactly:
+  (B, D) targets:     sum of squared errors over D, mean over batch
+  (B, J, 3) targets:  squared error summed over xyz, mean over joints,
+                      mean over batch
+plus optional L2 weight decay iff the model has no dropout
+(poseregnettrainer.py:106-107).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from deepprior_tpu.camera import Camera
+from deepprior_tpu.ops.augment import augment_batch
+from deepprior_tpu.prior import PCAPrior
+from deepprior_tpu.train.optimizer import lr_of_ep, make_optimizer
+
+
+class TrainConfig(NamedTuple):
+    batch_size: int = 128
+    learning_rate: float = 0.001
+    n_epochs: int = 100
+    optimizer: str = "adam"
+    momentum: float = 0.9
+    weightreg_factor: float = 0.0
+    aug_modes: Optional[Sequence[str]] = ("com", "rot", "none")
+    sigma_com: float = 5.0
+    sigma_sc: float = 0.02
+    rot_range: float = 180.0
+    norm_zero_one: bool = False
+    snapshot_every: int = 5  # nettrainer snapshot_last cadence
+    eval_every: int = 1  # epochs between validation-observer runs
+    use_early_stopping: bool = True
+    seed: int = 23455
+    model_has_dropout: bool = True  # gates weight decay (reference semantics)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class TrainData(NamedTuple):
+    """Device-resident training tensors.
+
+    crops:     (N, H, W) normalized depth crops
+    gt3d_crop: (N, J, 3) CoM-centered labels in mm
+    com:       (N, 3) image-coord CoM
+    cube:      (N, 3) metric cubes (mm)
+    m:         (N, 3, 3) crop transforms
+    """
+
+    crops: Any
+    gt3d_crop: Any
+    com: Any
+    cube: Any
+    m: Any
+
+    @classmethod
+    def from_sequence(cls, seq, normalize=True, norm_zero_one=False):
+        """Stack an ImageSequence the way Dataset.imgStackDepthOnly does
+        (reference dataset.py:72-111), keeping aux tensors for augmentation."""
+        from deepprior_tpu.ops.crop import normalize_crop
+
+        crops = np.stack([f.dpt for f in seq.data]).astype(np.float32)
+        com = np.stack([f.com for f in seq.data]).astype(np.float32)
+        cube = np.broadcast_to(
+            np.asarray(seq.config["cube"], np.float32), (len(seq.data), 3)
+        ).copy()
+        m = np.stack([f.T for f in seq.data]).astype(np.float32)
+        gt3d = np.stack([f.gt3Dcrop for f in seq.data]).astype(np.float32)
+        if normalize:
+            crops = np.asarray(
+                normalize_crop(crops, com[:, 2], cube[:, 2], norm_zero_one)
+            )
+        return cls(crops, gt3d, com, cube, m)
+
+    @property
+    def n(self):
+        return self.crops.shape[0]
+
+
+def _loss_from_targets(out, y):
+    if y.ndim == 2:
+        per_sample = jnp.sum(jnp.square(out - y), axis=1)
+    else:
+        out3 = out.reshape(y.shape)
+        per_sample = jnp.mean(jnp.sum(jnp.square(out3 - y), axis=2), axis=1)
+    return jnp.mean(per_sample)
+
+
+def _error_from_targets(out, y):
+    """Mean Euclidean distance (poseregnettrainer.py:114-121)."""
+    if y.ndim == 2:
+        return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(out - y), axis=1)))
+    out3 = out.reshape(y.shape)
+    d = jnp.sqrt(jnp.sum(jnp.square(out3 - y), axis=2))
+    return jnp.mean(d)
+
+
+def _l2_penalty(params):
+    # the reference regularizes kernels only (poseNet.weights), not biases
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if name in ("kernel", "scale"):
+            total = total + jnp.sum(jnp.square(leaf))
+    return total
+
+
+class Trainer:
+    """Drives one model over device-resident TrainData.
+
+    model_apply(variables, crops_bhw, train, rngs) -> (out, new_batch_stats)
+    is built automatically for the flax models in models/.
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        camera: Camera,
+        prior: Optional[PCAPrior] = None,
+        target_joints: Optional[int] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.camera = camera
+        self.prior = prior
+        self.tx = make_optimizer(cfg.optimizer, cfg.momentum)
+        # optional hook: sharding constraint applied to every gathered batch
+        # tensor (set by parallel.DistributedTrainer to shard over 'dp')
+        self.shard_batch: Optional[Callable] = None
+        self._epoch_fn = None
+        self._eval_fn = None
+        self._predict_fn = None
+        self.history: Dict[str, list] = {"train_cost": [], "val_error_mm": []}
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_crops) -> TrainState:
+        x = jnp.asarray(example_crops)[..., None]
+        variables = self.model.init(
+            jax.random.key(self.cfg.seed), x, train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _apply(self, params, batch_stats, x, train, dropout_key):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        rngs = {"dropout": dropout_key} if train else None
+        out = self.model.apply(
+            variables, x[..., None], train=train, mutable=mutable, rngs=rngs
+        )
+        if mutable:
+            out, updates = out
+            return out, updates.get("batch_stats", batch_stats)
+        return out, batch_stats
+
+    def _targets(self, labels_norm):
+        """labels_norm: (B, J, 3) cube-normalized. PCA-project if a prior is
+        attached (reference augment_poses, poseregnettrainer.py:252-259)."""
+        if self.prior is not None:
+            flat = labels_norm.reshape(labels_norm.shape[0], -1)
+            return (flat - self.prior.mean) @ self.prior.components.T
+        return labels_norm
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        cfg = self.cfg
+
+        def minibatch_step(carry, idx, data: TrainData, lr):
+            state, key = carry
+            key, aug_key, drop_key = jax.random.split(key, 3)
+            con = self.shard_batch or (lambda x: x)
+            crops = con(jnp.take(data.crops, idx, axis=0))
+            gt3d = con(jnp.take(data.gt3d_crop, idx, axis=0))
+            com = con(jnp.take(data.com, idx, axis=0))
+            cube = con(jnp.take(data.cube, idx, axis=0))
+            m = con(jnp.take(data.m, idx, axis=0))
+
+            if cfg.aug_modes:
+                crops, labels_norm, com, cube, m = augment_batch(
+                    aug_key, crops, gt3d, com, cube, m, self.camera,
+                    aug_modes=tuple(cfg.aug_modes),
+                    sigma_com=cfg.sigma_com,
+                    sigma_sc=cfg.sigma_sc,
+                    rot_range=cfg.rot_range,
+                    norm_zero_one=cfg.norm_zero_one,
+                )
+            else:
+                labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
+            y = self._targets(labels_norm)
+
+            def loss_fn(params):
+                out, new_bs = self._apply(
+                    params, state.batch_stats, crops, True, drop_key
+                )
+                loss = _loss_from_targets(out, y)
+                if cfg.weightreg_factor > 0.0 and not cfg.model_has_dropout:
+                    loss = loss + cfg.weightreg_factor * _l2_penalty(params)
+                return loss, new_bs
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return (new_state, key), loss
+
+        def epoch_fn(state, key, idxs, data: TrainData, lr):
+            """idxs: (n_steps, batch) minibatch indices for this epoch."""
+            (state, _), costs = jax.lax.scan(
+                lambda c, i: minibatch_step(c, i, data, lr), (state, key), idxs
+            )
+            return state, costs
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _build_eval_fn(self):
+        def eval_batch(state, crops, y, gt3d_mm, cube_z):
+            out, _ = self._apply(state.params, state.batch_stats, crops, False, None)
+            cost = _loss_from_targets(out, y)
+            err_norm = _error_from_targets(out, y)
+            if self.prior is not None:
+                decoded = out @ self.prior.components + self.prior.mean
+                d3 = decoded.reshape(gt3d_mm.shape)
+                dist_mm = jnp.sqrt(
+                    jnp.sum(jnp.square(d3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
+                )
+            else:
+                out3 = out.reshape(gt3d_mm.shape)
+                dist_mm = jnp.sqrt(
+                    jnp.sum(jnp.square(out3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
+                )
+            return cost, err_norm, jnp.mean(dist_mm), jnp.max(dist_mm)
+
+        return jax.jit(eval_batch)
+
+    def evaluate(self, state: TrainState, data: TrainData) -> Dict[str, float]:
+        """Validation observers: cost, normalized error, mm error avg/max
+        (reference poseregnettrainer.py:122-126, run at nettrainer.py:859-889).
+
+        Pads the tail batch by repeating the last sample, like
+        NetBase.computeOutput (netbase.py:290-296)."""
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        b = self.cfg.batch_size
+        n = data.n
+        costs, errs, mms, mmx = [], [], [], []
+        for s in range(0, n, b):
+            idx = np.arange(s, min(s + b, n))
+            if len(idx) < b:
+                idx = np.concatenate([idx, np.full(b - len(idx), n - 1)])
+            crops = jnp.asarray(np.asarray(data.crops)[idx])
+            gt3d = jnp.asarray(np.asarray(data.gt3d_crop)[idx])
+            cube = jnp.asarray(np.asarray(data.cube)[idx])
+            labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
+            y = self._targets(labels_norm)
+            c, e, mm, mx = self._eval_fn(state, crops, y, gt3d, cube[:, 2])
+            costs.append(float(c))
+            errs.append(float(e))
+            mms.append(float(mm))
+            mmx.append(float(mx))
+        return {
+            "cost": float(np.mean(costs)),
+            "error_norm": float(np.mean(errs)),
+            "error_mm_avg": float(np.mean(mms)),
+            "error_mm_max": float(np.max(mmx)),
+        }
+
+    # ------------------------------------------------------------------
+    def predict(self, state: TrainState, crops, batch_size: Optional[int] = None):
+        """Batched inference, computeOutput-equivalent (netbase.py:217-316):
+        deterministic mode, tail batch padded by repetition."""
+        if self._predict_fn is None:
+            self._predict_fn = jax.jit(
+                lambda st, x: self._apply(st.params, st.batch_stats, x, False, None)[0]
+            )
+        b = batch_size or self.cfg.batch_size
+        crops = np.asarray(crops)
+        n = crops.shape[0]
+        outs = []
+        for s in range(0, n, b):
+            chunk = crops[s : s + b]
+            pad = b - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            out = np.asarray(self._predict_fn(state, jnp.asarray(chunk)))
+            outs.append(out[: b - pad] if pad else out)
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    def check_nans(self, state: TrainState):
+        """Locate NaN parameters (reference checkNaNs, nettrainer.py:909-917)."""
+        bad = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+            if not bool(jnp.all(jnp.isfinite(leaf))):
+                bad.append(jax.tree_util.keystr(path))
+        return bad
+
+    def fit(
+        self,
+        state: TrainState,
+        train_data: TrainData,
+        val_data: Optional[TrainData] = None,
+        n_epochs: Optional[int] = None,
+        snapshot_path: Optional[str] = None,
+        log: Callable[[str], None] = print,
+    ) -> Tuple[TrainState, Dict[str, list]]:
+        """The training loop (reference NetTrainer.train, nettrainer.py:778-907):
+        per-epoch LR schedule, NaN guard, snapshots, early-stopping restore."""
+        cfg = self.cfg
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        sched = lr_of_ep(cfg.learning_rate)
+        n_epochs = n_epochs or cfg.n_epochs
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.key(cfg.seed)
+        data_dev = jax.tree.map(jnp.asarray, train_data)
+
+        n = train_data.n
+        steps = n // cfg.batch_size
+        if steps == 0:
+            raise ValueError("training set smaller than one batch")
+
+        best = (np.inf, None, -1)  # (val error, host params, epoch)
+        t0 = time.time()
+        for epoch in range(n_epochs):
+            lr = float(sched(epoch))
+            perm = rng.permutation(n)[: steps * cfg.batch_size]
+            idxs = jnp.asarray(perm.reshape(steps, cfg.batch_size))
+            key, ekey = jax.random.split(key)
+            state, costs = self._epoch_fn(state, ekey, idxs, data_dev, lr)
+            costs = np.asarray(costs)
+            self.history["train_cost"].extend(costs.tolist())
+            if not np.isfinite(costs).all():
+                bad = self.check_nans(state)
+                raise FloatingPointError(
+                    f"non-finite training cost at epoch {epoch}; "
+                    f"NaN params: {bad or 'none (cost-only)'}"
+                )
+            msg = (
+                f"epoch {epoch}: lr {lr:.2e} cost {costs.mean():.5f} "
+                f"({(time.time() - t0) / (epoch + 1):.2f}s/epoch)"
+            )
+            if val_data is not None and (epoch % cfg.eval_every) == 0:
+                obs = self.evaluate(state, val_data)
+                self.history["val_error_mm"].append(obs["error_mm_avg"])
+                msg += f" val_mm {obs['error_mm_avg']:.3f}"
+                if cfg.use_early_stopping and obs["error_mm_avg"] < best[0]:
+                    best = (obs["error_mm_avg"], jax.device_get(state.params), epoch)
+            log(msg)
+            if snapshot_path and (epoch % cfg.snapshot_every) == 0:
+                from deepprior_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{snapshot_path}_last.ckpt",
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    config=cfg._asdict(),
+                )
+
+        if cfg.use_early_stopping and best[1] is not None:
+            log(f"best params at epoch {best[2]} (val {best[0]:.3f}mm)")
+            state = state.replace(params=jax.tree.map(jnp.asarray, best[1]))
+        return state, self.history

@@ -1,0 +1,212 @@
+"""Shared wiring for the entry-point scripts.
+
+The reference configures each experiment with inline constants in
+main_*.py; here the same knobs are argparse flags with the reference
+defaults (SURVEY.md §5 config system).  Every main supports --synthetic to
+run the full pipeline on generated data when the real datasets are not on
+disk (the reference had no such mode — its scripts hard-require the data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--data", default=None, help="dataset base path")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on synthetic data (no dataset required)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--seed", type=int, default=23455)
+    p.add_argument("--nmax", type=float, default=float("inf"),
+                   help="cap on imported frames")
+    p.add_argument("--eval-prefix", default=None)
+    p.add_argument("--out", default="./eval")
+    p.add_argument("--aug-modes", nargs="*", default=["com", "rot", "none"])
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    return p
+
+
+def load_or_synthesize(args, importer_cls, camera, train_seq, test_seqs,
+                       num_joints, docom=False):
+    """Returns (train ImageSequence, [test ImageSequences])."""
+    from deepprior_tpu.data.synthetic import make_sequence
+
+    if args.synthetic or args.data is None:
+        n_train = 256 if np.isinf(args.nmax) else int(args.nmax)
+        train = make_sequence(camera, n_train, num_joints=num_joints,
+                              seed=args.seed, name=train_seq, docom=docom)
+        tests = [
+            make_sequence(camera, max(32, n_train // 8), num_joints=num_joints,
+                          seed=args.seed + 1 + i, name=name, docom=docom)
+            for i, name in enumerate(test_seqs)
+        ]
+        return train, tests
+    imp = importer_cls(args.data)
+    rng = np.random.RandomState(args.seed)
+    train = imp.loadSequence(train_seq, Nmax=args.nmax, shuffle=True, rng=rng,
+                             docom=docom)
+    tests = [imp.loadSequence(s, Nmax=args.nmax, docom=docom) for s in test_seqs]
+    return train, tests
+
+
+def make_trainer(model, cfg, camera, prior=None):
+    """Single-chip Trainer, or DistributedTrainer when a mesh is requested
+    and >1 device is available."""
+    import jax
+
+    from deepprior_tpu.parallel import DistributedTrainer, make_mesh
+    from deepprior_tpu.train.trainer import Trainer
+
+    n = len(jax.devices())
+    if n > 1:
+        mesh = make_mesh(dp=None, tp=1)
+        return DistributedTrainer(model, cfg, camera, mesh, prior=prior)
+    return Trainer(model, cfg, camera, prior=prior)
+
+
+def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
+                          num_joints, eval_cls, n_pca=30):
+    """The flagship recipe (reference main_nyu_posereg_embedding.py:38-205):
+    import -> PCA prior from 1e6 sampled poses -> PoseRegNet 30-D embedding
+    training with augmentation -> decode -> metric evaluation."""
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import fit_pose_prior
+    from deepprior_tpu.train.trainer import TrainConfig, TrainData
+
+    prefix = args.eval_prefix or f"{train_seq}_EMB_PCA{n_pca}"
+    outdir = os.path.join(args.out, prefix)
+    os.makedirs(outdir, exist_ok=True)
+
+    train, tests = load_or_synthesize(
+        args, importer_cls, camera, train_seq, test_seqs, num_joints
+    )
+    data = TrainData.from_sequence(train)
+    val = TrainData.from_sequence(tests[0]) if tests else None
+
+    rng = np.random.default_rng(args.seed)
+    n_poses = 1_000_000 if not args.synthetic else 50_000
+    prior = fit_pose_prior(
+        camera, rng, data.gt3d_crop, data.com, data.cube,
+        n_components=n_pca, num_poses=n_poses, aug_modes=tuple(args.aug_modes),
+    )
+
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=n_pca))
+    cfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.lr,
+        n_epochs=args.epochs, aug_modes=tuple(args.aug_modes), seed=args.seed,
+    )
+    trainer = make_trainer(model, cfg, camera, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
+    if hasattr(trainer, "place_data"):
+        data = trainer.place_data(data)
+    t0 = time.time()
+    state, hist = trainer.fit(
+        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net")
+    )
+    print(f"training took {time.time() - t0:.1f}s")
+
+    # save final net + prior (the reference appends the PCA decode layer and
+    # saves network_prior.pkl, main:148-158)
+    from deepprior_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(outdir, "network_prior.ckpt"),
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "pca_components": prior.components,
+            "pca_mean": prior.mean,
+        },
+        config=cfg._asdict(),
+    )
+
+    # test: decode to mm and run the metric suite (main:161-205)
+    results = {}
+    for seq in tests:
+        tdata = TrainData.from_sequence(seq)
+        emb = trainer.predict(state, np.asarray(tdata.crops))
+        decoded = np.asarray(prior.inverse_transform(emb)).reshape(
+            emb.shape[0], -1, 3
+        )
+        cube_z = np.asarray(tdata.cube)[:, 2][:, None, None]
+        com3d = np.asarray(camera.img_to_3d(np.asarray(tdata.com)))
+        joints = decoded * (cube_z / 2.0) + com3d[:, None, :]
+        gt3d = np.stack([f.gt3Dorig for f in seq.data])
+        hpe = eval_cls(gt3d, joints)
+        hpe.subfolder = outdir
+        print(f"{seq.name}: mean {hpe.getMeanError():.3f}mm "
+              f"max {hpe.getMaxError():.3f}mm")
+        hpe.plotEvaluation(f"{prefix}_{seq.name}")
+        results[seq.name] = hpe
+    return state, results
+
+
+def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
+                   num_joints, crop_joint_idx, eval_cls):
+    """CoM refinement training (reference main_nyu_com_refine.py): ScaleNet
+    over docom crops, labels = crop-joint offset from the detected CoM."""
+    from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+    from deepprior_tpu.train.trainer import TrainConfig, TrainData
+
+    prefix = args.eval_prefix or f"{train_seq}_COM"
+    outdir = os.path.join(args.out, prefix)
+    os.makedirs(outdir, exist_ok=True)
+
+    train, tests = load_or_synthesize(
+        args, importer_cls, camera, train_seq, test_seqs, num_joints, docom=True
+    )
+
+    def to_refine_data(seq):
+        data = TrainData.from_sequence(seq)
+        gt3d = np.asarray(data.gt3d_crop)[:, crop_joint_idx : crop_joint_idx + 1, :]
+        return data._replace(gt3d_crop=gt3d)
+
+    data = to_refine_data(train)
+    val = to_refine_data(tests[0]) if tests else None
+
+    model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+    cfg = TrainConfig(
+        batch_size=min(args.batch_size, 64),  # reference uses 64 (main:166)
+        learning_rate=args.lr, n_epochs=args.epochs,
+        aug_modes=tuple(args.aug_modes), seed=args.seed,
+    )
+    trainer = make_trainer(model, cfg, camera, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
+    if hasattr(trainer, "place_data"):
+        data = trainer.place_data(data)
+    state, hist = trainer.fit(
+        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net")
+    )
+
+    from deepprior_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        os.path.join(outdir, f"net_{prefix}.ckpt"),
+        {"params": state.params, "batch_stats": state.batch_stats},
+        config=cfg._asdict(),
+    )
+
+    # evaluate CoM error before/after refinement (main_nyu_com_refine:240-250)
+    for seq in tests:
+        tdata = to_refine_data(seq)
+        pred = trainer.predict(state, np.asarray(tdata.crops))  # (N, 3) offsets
+        cube_z = np.asarray(tdata.cube)[:, 2][:, None]
+        offset_mm = pred * (cube_z / 2.0)
+        gt_mm = np.asarray(tdata.gt3d_crop)[:, 0, :]
+        before = np.linalg.norm(gt_mm, axis=1).mean()
+        after = np.linalg.norm(gt_mm - offset_mm, axis=1).mean()
+        print(f"{seq.name}: CoM error raw {before:.3f}mm -> refined {after:.3f}mm")
+    return state

@@ -1,0 +1,82 @@
+"""Realtime pipeline demo (reference src/test_realtimepipeline.py): drives
+the fused estimator from a camera device (synthetic, file-replay, or the
+native capture shim) and reports fps.
+
+Run: python mains/demo_realtime.py --frames 100
+     python mains/demo_realtime.py --device capture --frames 100
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--device", default="synthetic",
+                   choices=["synthetic", "capture"],
+                   help="camera source")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--threaded", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="trained network_prior.ckpt (random weights if absent)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import PCAPrior
+    from deepprior_tpu.realtime.camera import CaptureDevice, SyntheticDevice
+    from deepprior_tpu.realtime.fused import FusedEstimator
+    from deepprior_tpu.realtime.pipeline import RealtimeHandposePipeline
+
+    cam = NYU_CAMERA
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    rng = np.random.default_rng(0)
+    if args.checkpoint:
+        from deepprior_tpu.train.checkpoint import load_checkpoint
+
+        tree = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "pca_components": np.zeros((30, 42), np.float32),
+            "pca_mean": np.zeros(42, np.float32),
+        }
+        tree, _ = load_checkpoint(args.checkpoint, tree)
+        variables = {"params": tree["params"]}
+        prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
+    else:
+        prior = PCAPrior(
+            components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+            mean=np.zeros(42, np.float32),
+        )
+
+    est = FusedEstimator(model, cam, prior=prior)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+
+    if args.device == "capture":
+        lib = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu",
+                           "cpp", "libcapture.so")
+        device = CaptureDevice(lib, mode="synthetic", fps=60.0)
+        # the shim's camera differs from NYU; run with its intrinsics
+        device.start()
+        device.stop()
+    else:
+        device = SyntheticDevice(cam, seed=0)
+
+    runner = pipe.process_video_threaded if args.threaded else pipe.process_video
+    results = runner(device, max_frames=args.frames)
+    if results:
+        print(f"processed {len(results)} frames, fps={results[-1]['fps']:.1f} "
+              f"(detect {pipe.times['detect'] * 1000:.1f}ms, "
+              f"pose {pipe.times['pose'] * 1000:.1f}ms)")
+    else:
+        print("no frames processed")

@@ -1,0 +1,63 @@
+"""MSRA15 leave-one-subject-out cross-validation with the PCA embedding
+(reference src/main_msra15_posereg_embedding_crossval.py: train on 8
+subjects, test on the held-out one, repeat for P0..P8).
+"""
+
+import numpy as np
+
+from common import base_parser, run_posereg_embedding
+
+
+class _MultiSubjectImporter:
+    """Presents several MSRA subjects as one training sequence."""
+
+    def __init__(self, basepath, subjects):
+        from deepprior_tpu.data.importers import MSRA15Importer
+
+        self.imp = MSRA15Importer(basepath)
+        self.subjects = subjects
+
+    def loadSequence(self, seq_name, **kw):
+        from deepprior_tpu.data.basetypes import ImageSequence
+
+        if seq_name == "train":
+            frames = []
+            config = None
+            for s in self.subjects:
+                seq = self.imp.loadSequence(s, **{k: v for k, v in kw.items()
+                                                  if k not in ("shuffle", "rng")})
+                frames.extend(seq.data)
+                config = seq.config
+            rng = kw.get("rng")
+            if kw.get("shuffle") and rng is not None:
+                rng.shuffle(frames)
+            return ImageSequence("train", frames, config)
+        return self.imp.loadSequence(seq_name, **kw)
+
+
+if __name__ == "__main__":
+    p = base_parser(__doc__)
+    p.add_argument("--holdout", default=None,
+                   help="held-out subject (default: all of P0..P8 in turn)")
+    args = p.parse_args()
+    from deepprior_tpu.camera import MSRA15_CAMERA
+    from deepprior_tpu.eval import MSRAHandposeEvaluation
+
+    subjects = [f"P{i}" for i in range(9)]
+    holdouts = [args.holdout] if args.holdout else subjects
+    means = []
+    for held in holdouts:
+        print(f"=== crossval fold: holding out {held} ===")
+        train_subjects = [s for s in subjects if s != held]
+
+        def importer_cls(basepath, _subj=train_subjects):
+            return _MultiSubjectImporter(basepath, _subj)
+
+        args.eval_prefix = f"MSRA_EMB_crossval_{held}"
+        _, results = run_posereg_embedding(
+            args, importer_cls, MSRA15_CAMERA,
+            train_seq="train", test_seqs=[held],
+            num_joints=21, eval_cls=MSRAHandposeEvaluation,
+        )
+        means.append(results[held].getMeanError())
+    print(f"crossval mean over folds: {np.mean(means):.3f}mm")

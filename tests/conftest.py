@@ -6,12 +6,20 @@ tests runnable on CPU via XLA host-platform device simulation).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the session presets JAX_PLATFORMS=axon (the TPU tunnel) and a
+# sitecustomize registers the axon PJRT plugin in every interpreter; the
+# env var alone does not stick, so force the platform via the config API
+# before any backend initializes
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

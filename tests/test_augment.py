@@ -1,0 +1,141 @@
+"""On-device augmentation tests (reference augmentCrop semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepprior_tpu.camera import NYU_CAMERA
+from deepprior_tpu.data.synthetic import make_frame
+from deepprior_tpu.ops.augment import augment_batch, sample_augment_params
+from deepprior_tpu.ops.crop import normalize_crop
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(5)
+    cam = NYU_CAMERA
+    frames = [make_frame(cam, rng) for _ in range(4)]
+    cube = np.tile(np.array([250.0, 250.0, 250.0], np.float32), (4, 1))
+    crops = np.stack([f.dpt for f in frames])
+    com = np.stack([f.com for f in frames])
+    m = np.stack([f.T for f in frames])
+    gt3d = np.stack([f.gt3Dcrop for f in frames])
+    crops_norm = np.asarray(normalize_crop(crops, com[:, 2], cube[:, 2]))
+    return cam, crops_norm, gt3d, com, cube, m
+
+
+def test_sample_params_distribution():
+    mode, off, rot, sc = sample_augment_params(jax.random.key(0), 4096, 3)
+    mode, off, rot, sc = map(np.asarray, (mode, off, rot, sc))
+    assert set(np.unique(mode)) <= {0, 1, 2}
+    assert abs(off.std() - 5.0) < 0.5
+    assert abs(rot.max()) <= 180.0 and rot.std() > 80.0
+    assert abs(sc.mean() - 1.0) < 0.01
+
+
+def test_none_mode_is_identity(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    out, labels, new_com, new_cube, new_m = augment_batch(
+        jax.random.key(0), crops_norm, gt3d, com, cube, m, cam, aug_modes=("none",)
+    )
+    # pixels not equal to premax round-trip exactly; premax pixels map to
+    # the cube face (reference nettrainer.py:991-993 does the same)
+    out = np.asarray(out)
+    premax_mask = np.isclose(crops_norm, crops_norm.max(axis=(1, 2), keepdims=True))
+    agree = np.isclose(out, crops_norm, atol=1e-5) | premax_mask
+    assert agree.mean() > 0.999
+    np.testing.assert_allclose(np.asarray(new_com), com)
+    np.testing.assert_allclose(np.asarray(new_cube), cube)
+    np.testing.assert_allclose(
+        np.asarray(labels), gt3d / (cube[:, 2, None, None] / 2.0), rtol=1e-5
+    )
+
+
+def test_com_mode_shifts_labels(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    out, labels, new_com, new_cube, new_m = augment_batch(
+        jax.random.key(1), crops_norm, gt3d, com, cube, m, cam, aug_modes=("com",)
+    )
+    new_com = np.asarray(new_com)
+    # CoM moved
+    assert not np.allclose(new_com, com)
+    # labels shifted by com3D - new_com3D (moveCoM, handdetector.py:708)
+    com3d = np.asarray(cam.img_to_3d(com))
+    ncom3d = np.asarray(cam.img_to_3d(new_com))
+    expect = (gt3d + (com3d - ncom3d)[:, None, :]) / (cube[:, 2, None, None] / 2.0)
+    np.testing.assert_allclose(np.asarray(labels), expect, rtol=1e-3, atol=1e-3)
+    # M updated to the new crop transform
+    assert not np.allclose(np.asarray(new_m), m)
+
+
+def test_rot_mode_preserves_radius(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    out, labels, new_com, new_cube, new_m = augment_batch(
+        jax.random.key(2), crops_norm, gt3d, com, cube, m, cam, aug_modes=("rot",)
+    )
+    labels_mm = np.asarray(labels) * (cube[:, 2, None, None] / 2.0)
+    # in-plane rotation approximately preserves 3D distance to the CoM axis
+    # (approximately only: the reference rotates in *image* space, which
+    # distorts xy radii for joints offset in depth — handdetector.py:740-745)
+    r_before = np.linalg.norm(gt3d[..., :2], axis=-1)
+    r_after = np.linalg.norm(labels_mm[..., :2], axis=-1)
+    np.testing.assert_allclose(r_after, r_before, rtol=0.3, atol=10.0)
+    # com/cube/M unchanged (rotateHand does not touch them)
+    np.testing.assert_allclose(np.asarray(new_com), com)
+    np.testing.assert_allclose(np.asarray(new_m), m)
+    # the patch itself rotated: content differs
+    assert not np.allclose(np.asarray(out), crops_norm, atol=1e-3)
+
+
+def test_sc_mode_scales_cube(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    out, labels, new_com, new_cube, new_m = augment_batch(
+        jax.random.key(3), crops_norm, gt3d, com, cube, m, cam, aug_modes=("sc",)
+    )
+    new_cube = np.asarray(new_cube)
+    assert not np.allclose(new_cube, cube)
+    # labels unchanged in mm, renormalized by the new cube
+    np.testing.assert_allclose(
+        np.asarray(labels) * (new_cube[:, 2, None, None] / 2.0),
+        gt3d,
+        rtol=1e-3,
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(new_com), com)
+
+
+def test_output_range(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    out, *_ = augment_batch(
+        jax.random.key(4), crops_norm, gt3d, com, cube, m, cam,
+        aug_modes=("com", "rot", "sc", "none"),
+    )
+    out = np.asarray(out)
+    assert out.min() >= -1.0 - 1e-4 and out.max() <= 1.0 + 1e-4
+
+
+def test_jit_and_grad_safe(batch):
+    """Augmentation must live inside the jitted train step."""
+    cam, crops_norm, gt3d, com, cube, m = batch
+    f = jax.jit(
+        lambda k: augment_batch(
+            k, crops_norm, gt3d, com, cube, m, cam, aug_modes=("com", "rot", "none")
+        )[0]
+    )
+    o1 = f(jax.random.key(0))
+    o2 = f(jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))  # deterministic
+    o3 = f(jax.random.key(9))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_zero_one_normalization(batch):
+    cam, crops_norm, gt3d, com, cube, m = batch
+    zo = (np.asarray(crops_norm) + 1.0) / 2.0
+    out, *_ = augment_batch(
+        jax.random.key(5), zo, gt3d, com, cube, m, cam,
+        aug_modes=("none",), norm_zero_one=True,
+    )
+    out = np.asarray(out)
+    assert out.min() >= -1e-4 and out.max() <= 1.0 + 1e-4

@@ -1,0 +1,135 @@
+"""Model zoo shape/behavior tests (reference architectures §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepprior_tpu.models import (
+    PoseRegNet,
+    PoseRegNetConfig,
+    ResNet,
+    ResNetConfig,
+    ScaleNet,
+    ScaleNetConfig,
+)
+from deepprior_tpu.models.scalenet import multiscale_center_crops
+
+
+def _count_params(params):
+    return sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+
+
+def test_poseregnet_shapes():
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))  # flagship
+    x = jnp.zeros((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out = model.apply(vars_, x)
+    assert out.shape == (2, 30)
+    # trunk flatten is 8*11*11=968 (reference shape math, poseregnet.py:80)
+    fc1 = vars_["params"]["MLPHead_0"]["Dense_0"]["kernel"]
+    assert fc1.shape == (968, 1024)
+
+
+def test_poseregnet_type11_bottleneck():
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3, embedding=30))
+    x = jnp.zeros((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out = model.apply(vars_, x)
+    assert out.shape == (2, 42)
+    head = vars_["params"]["MLPHead_0"]
+    assert head["Dense_2"]["kernel"].shape == (1024, 30)
+    assert head["Dense_3"]["kernel"].shape == (30, 42)
+
+
+def test_poseregnet_dropout_deterministic():
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    x = jnp.ones((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    o1 = model.apply(vars_, x, train=False)
+    o2 = model.apply(vars_, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = model.apply(vars_, x, train=True, rngs={"dropout": jax.random.key(1)})
+    o4 = model.apply(vars_, x, train=True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(np.asarray(o3), np.asarray(o4))
+
+
+def test_scalenet_center_crops():
+    x = jnp.arange(2 * 128 * 128, dtype=jnp.float32).reshape(2, 128, 128, 1)
+    xs = multiscale_center_crops(x)
+    assert xs[0].shape == (2, 128, 128, 1)
+    assert xs[1].shape == (2, 64, 64, 1)
+    assert xs[2].shape == (2, 32, 32, 1)
+    # /2 crop is the center region, not a resize
+    np.testing.assert_array_equal(
+        np.asarray(xs[1][0, 0, 0, 0]), np.asarray(x[0, 32, 32, 0])
+    )
+
+
+def test_scalenet_shapes():
+    model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+    x = jnp.zeros((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out = model.apply(vars_, x)
+    assert out.shape == (2, 3)
+    # concat feature width: 968 + 968 + 512 = 2448 (scalenet.py:107-111)
+    fc1 = vars_["params"]["MLPHead_0"]["Dense_0"]["kernel"]
+    assert fc1.shape == (2448, 1024)
+
+
+def test_scalenet_explicit_inputs():
+    model = ScaleNet(ScaleNetConfig())
+    xs = [
+        jnp.zeros((2, 128, 128, 1)),
+        jnp.zeros((2, 64, 64, 1)),
+        jnp.zeros((2, 32, 32, 1)),
+    ]
+    vars_ = model.init(jax.random.key(0), xs)
+    assert model.apply(vars_, xs).shape == (2, 3)
+
+
+@pytest.mark.parametrize("rtype", [0, 1, 4])
+def test_resnet_types(rtype):
+    cfg = ResNetConfig.from_reference_type(rtype, num_joints=14)
+    model = ResNet(cfg)
+    x = jnp.zeros((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out, _ = model.apply(
+        vars_, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(0)},
+    )
+    assert out.shape == (2, 42)
+    assert (cfg.embedding == 30) == (rtype in (1, 4))
+
+
+def test_resnet_spatial_quirk():
+    """Stage 4 must NOT downsample (reference identity-path stride quirk):
+    flatten size is 8*8*256 = 16384 for 128x128 inputs."""
+    model = ResNet(ResNetConfig())
+    x = jnp.zeros((1, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    fc1 = vars_["params"]["Dense_0"]["kernel"]
+    assert fc1.shape == (8 * 8 * 256, 1024)
+
+
+def test_resnet_batchnorm_updates():
+    model = ResNet(ResNetConfig())
+    x = jax.random.normal(jax.random.key(1), (2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    _, updates = model.apply(vars_, x, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(vars_["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+
+
+def test_bfloat16_compute():
+    model = PoseRegNet(
+        PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
+    )
+    x = jnp.ones((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out = model.apply(vars_, x)
+    assert out.dtype == jnp.float32  # output upcast for stable losses
+    assert np.isfinite(np.asarray(out)).all()

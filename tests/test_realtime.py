@@ -1,0 +1,198 @@
+"""Realtime pipeline tests: devices, fused estimator, producer/consumer."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from deepprior_tpu.camera import NYU_CAMERA, Camera
+from deepprior_tpu.data.synthetic import make_frame
+from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+from deepprior_tpu.prior import PCAPrior
+from deepprior_tpu.realtime.camera import CaptureDevice, FileDevice, SyntheticDevice
+from deepprior_tpu.realtime.fused import FusedEstimator
+from deepprior_tpu.realtime.pipeline import (
+    STATE_INIT,
+    STATE_RUN,
+    HAND_LEFT,
+    RealtimeHandposePipeline,
+)
+
+CPP_LIB = os.path.join(
+    os.path.dirname(__file__), "..", "deepprior_tpu", "cpp", "libcapture.so"
+)
+
+
+@pytest.fixture(scope="module")
+def estimator_setup():
+    import jax
+    import jax.numpy as jnp
+
+    cam = NYU_CAMERA
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    rng = np.random.default_rng(0)
+    prior = PCAPrior(
+        components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+        mean=np.zeros(42, np.float32),
+    )
+    est = FusedEstimator(model, cam, prior=prior)
+    return cam, est, variables
+
+
+def test_file_device_replay():
+    cam = NYU_CAMERA
+    frames = np.random.default_rng(0).uniform(0, 100, (3, 8, 8)).astype(np.float32)
+    dev = FileDevice(frames, cam, loop=False)
+    dev.start()
+    for i in range(3):
+        ok, f = dev.getDepth()
+        assert ok
+        np.testing.assert_array_equal(f, frames[i])
+    ok, _ = dev.getDepth()
+    assert not ok
+    dev.stop()
+    # looping variant wraps around
+    dev = FileDevice(frames, cam, loop=True)
+    dev.start()
+    for _ in range(7):
+        ok, _ = dev.getDepth()
+        assert ok
+
+
+def test_synthetic_device():
+    dev = SyntheticDevice(NYU_CAMERA, seed=1)
+    dev.start()
+    ok, f = dev.getDepth()
+    assert ok and f.shape == (480, 640)
+    assert (f > 0).sum() > 100  # a hand is visible
+    dev.stop()
+    assert dev.getDepthIntrinsics().fx == NYU_CAMERA.fx
+
+
+def test_fused_estimator_shapes(estimator_setup):
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(4)
+    f = make_frame(cam, rng)
+    joints, com3d, crops = est(
+        variables, f.extraData["dpt_full"][None], f.com[None]
+    )
+    assert joints.shape == (1, 14, 3)
+    assert crops.shape == (1, 128, 128)
+    # joints land near the hand in 3D (decoded around the CoM)
+    com3d = np.asarray(com3d)[0]
+    assert np.linalg.norm(np.asarray(joints)[0] - com3d, axis=1).max() < 300.0
+
+
+def test_pipeline_single_frame(estimator_setup):
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(5)
+    f = make_frame(cam, rng)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    out = pipe.process_frame(f.extraData["dpt_full"])
+    assert out is not None
+    assert out["joints3d"].shape == (14, 3)
+    assert np.linalg.norm(out["com"][:2] - f.com[:2]) < 80.0
+
+
+def test_pipeline_threaded(estimator_setup):
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(6)
+    frames = [make_frame(cam, rng).extraData["dpt_full"] for _ in range(4)]
+    dev = FileDevice(frames, cam, loop=True)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    results = pipe.process_video_threaded(dev, max_frames=6)
+    assert len(results) >= 1
+    assert all(r["joints3d"].shape == (14, 3) for r in results)
+
+
+def test_pipeline_keys_and_state(estimator_setup):
+    cam, est, variables = estimator_setup
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    assert pipe.process_key("h")
+    assert pipe.hand == HAND_LEFT
+    cube0 = pipe.config["cube"][0]
+    pipe.process_key("+")
+    assert pipe.config["cube"][0] == cube0 + 10.0
+    pipe.process_key("t")
+    assert pipe.tracking
+    pipe.process_key("i")
+    assert pipe.state == STATE_INIT
+    assert not pipe.process_key("q")
+
+
+def test_pipeline_init_calibration(estimator_setup):
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(7)
+    f = make_frame(cam, rng)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    pipe.state = STATE_INIT
+    pipe.num_init_frames = 3
+    for _ in range(3):
+        pipe.detect(f.extraData["dpt_full"])
+    assert pipe.state == STATE_RUN
+    assert pipe.config["cube"][0] != 250.0  # calibrated from content
+
+
+def test_show_overlay(estimator_setup):
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(8)
+    f = make_frame(cam, rng)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    out = pipe.process_frame(f.extraData["dpt_full"])
+    img = pipe.show(out)
+    assert img.shape == (480, 640, 3) and img.dtype == np.uint8
+    assert (img[..., 1] == 255).any()  # skeleton drawn
+
+
+# ----------------------------------------------------------------------
+@pytest.mark.skipif(not os.path.exists(CPP_LIB), reason="capture shim not built")
+class TestCaptureShim:
+    def test_synthetic_capture(self):
+        import time
+
+        dev = CaptureDevice(CPP_LIB, mode="synthetic", fps=200.0)
+        dev.start()
+        time.sleep(0.1)
+        ok, frame = dev.getDepth()
+        assert ok and frame.shape == (240, 320)
+        assert (frame > 0).sum() > 50
+        n1 = dev.getLastDepthNum()
+        time.sleep(0.05)
+        assert dev.getLastDepthNum() > n1  # frames advancing
+        cam = dev.getDepthIntrinsics()
+        assert cam.fx > 0
+        accel = dev.getAcceleration()
+        assert accel.shape == (3,)
+        dev.stop()
+
+    def test_file_capture(self, tmp_path):
+        import time
+
+        frames = np.random.default_rng(1).uniform(
+            100, 900, (4, 16, 24)
+        ).astype(np.float32)
+        path = tmp_path / "frames.bin"
+        with open(path, "wb") as f:
+            f.write(struct.pack("<3i", 16, 24, 4))
+            frames.tofile(f)
+        dev = CaptureDevice(CPP_LIB, mode="file", source=str(path), fps=500.0)
+        dev.start()
+        time.sleep(0.05)
+        ok, frame = dev.getDepth()
+        assert ok and frame.shape == (16, 24)
+        # the frame is one of the replayed ones
+        match = min(np.abs(frames - frame[None]).max(axis=(1, 2)))
+        assert match < 1e-5
+        dev.stop()

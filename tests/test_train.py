@@ -1,0 +1,175 @@
+"""Trainer tests: end-to-end toy training, schedule, optimizer, checkpoint."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepprior_tpu.camera import NYU_CAMERA
+from deepprior_tpu.data.synthetic import make_sequence
+from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+from deepprior_tpu.prior import fit_pose_prior
+from deepprior_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from deepprior_tpu.train.optimizer import lr_of_ep, reference_adam, reference_rmsprop
+from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
+
+
+def test_lr_schedule():
+    s = lr_of_ep(0.01)
+    assert float(s(0)) == pytest.approx(0.001)
+    assert float(s(1)) == pytest.approx(0.001)
+    assert float(s(2)) == pytest.approx(0.01 / 3.0)
+    assert float(s(3)) == pytest.approx(0.01 * np.exp(-0.12), rel=1e-5)
+    assert float(s(50)) < float(s(3))
+
+
+def test_reference_adam_minimizes_quadratic():
+    tx = reference_adam()
+    params = {"w": jnp.array([5.0, -3.0])}
+    opt_state = tx.init(params)
+    lr = 0.1
+    for _ in range(200):
+        grads = jax.tree.map(lambda w: 2 * w, params)  # d/dw w^2
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, upd)
+    assert float(jnp.abs(params["w"]).max()) < 1e-2
+
+
+def test_reference_rmsprop_minimizes_quadratic():
+    tx = reference_rmsprop()
+    params = {"w": jnp.array([5.0, -3.0])}
+    opt_state = tx.init(params)
+    for _ in range(300):
+        grads = jax.tree.map(lambda w: 2 * w, params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - 0.01 * u, params, upd)
+    assert float(jnp.abs(params["w"]).max()) < 0.1
+
+
+@pytest.fixture(scope="module")
+def toy_setup():
+    cam = NYU_CAMERA
+    seq = make_sequence(cam, 64, num_joints=14, seed=3)
+    data = TrainData.from_sequence(seq)
+    rng = np.random.default_rng(23455)
+    prior = fit_pose_prior(
+        cam, rng, data.gt3d_crop, data.com, data.cube,
+        n_components=30, num_poses=5000,
+    )
+    return cam, data, prior
+
+
+def test_train_data_from_sequence(toy_setup):
+    cam, data, _ = toy_setup
+    assert data.crops.shape == (64, 128, 128)
+    assert data.gt3d_crop.shape == (64, 14, 3)
+    assert data.crops.min() >= -1.0 - 1e-5 and data.crops.max() <= 1.0 + 1e-5
+
+
+def test_end_to_end_training_reduces_loss(toy_setup):
+    cam, data, prior = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(
+        batch_size=16, learning_rate=0.003, n_epochs=8,
+        aug_modes=("com", "rot", "none"), eval_every=2,
+    )
+    trainer = Trainer(model, cfg, cam, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    state, hist = trainer.fit(state, data, val_data=data, log=lambda m: None)
+    costs = np.asarray(hist["train_cost"])
+    assert np.isfinite(costs).all()
+    # loss should drop substantially over 8 epochs on 64 samples
+    assert costs[-4:].mean() < costs[:4].mean() * 0.7
+    assert len(hist["val_error_mm"]) >= 3
+
+
+def test_training_without_augmentation(toy_setup):
+    cam, data, prior = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=3, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    state, hist = trainer.fit(state, data, log=lambda m: None)
+    assert np.isfinite(np.asarray(hist["train_cost"])).all()
+
+
+def test_direct_pose_regression(toy_setup):
+    """No PCA prior: targets are (B, J, 3) normalized poses; loss is the
+    per-joint-summed squared error (poseregnettrainer.py:99-101)."""
+    cam, data, _ = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.001, n_epochs=2, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    state, hist = trainer.fit(state, data, log=lambda m: None)
+    assert np.isfinite(np.asarray(hist["train_cost"])).all()
+    obs = trainer.evaluate(state, data)
+    assert np.isfinite(obs["error_mm_avg"])
+
+
+def test_predict_pads_tail(toy_setup):
+    cam, data, prior = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, n_epochs=1, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    out = trainer.predict(state, np.asarray(data.crops[:19]))
+    assert out.shape == (19, 30)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "params": {"dense": {"kernel": np.ones((4, 3), np.float32)}},
+        "step": np.int32(7),
+    }
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, tree, config={"lr": 0.01})
+    restored, exact = load_checkpoint(p, tree, config={"lr": 0.01})
+    assert exact
+    np.testing.assert_array_equal(
+        restored["params"]["dense"]["kernel"], tree["params"]["dense"]["kernel"]
+    )
+
+
+def test_checkpoint_config_diff(tmp_path, capsys):
+    tree = {"w": np.zeros(3, np.float32)}
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, tree, config={"lr": 0.01})
+    _, exact = load_checkpoint(p, tree, config={"lr": 0.02})
+    assert not exact
+    out = capsys.readouterr().out
+    assert "mismatch" in out and "0.01" in out and "0.02" in out
+    with pytest.raises(ValueError):
+        load_checkpoint(p, tree, config={"lr": 0.02}, strict=True)
+
+
+def test_checkpoint_shape_recovery(tmp_path):
+    """Structural mismatch falls back to name/shape grafting
+    (netbase.py:451-476 semantics)."""
+    stored = {"layers": {"0": {"kernel": np.full((4, 3), 7.0, np.float32)}}}
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, stored)
+    target = {
+        "blocks": {"first": {"kernel": np.zeros((4, 3), np.float32)},
+                   "second": {"kernel": np.zeros((2, 2), np.float32)}}
+    }
+    restored, exact = load_checkpoint(p, target)
+    assert not exact
+    np.testing.assert_array_equal(
+        restored["blocks"]["first"]["kernel"], 7.0 * np.ones((4, 3))
+    )
+    np.testing.assert_array_equal(
+        restored["blocks"]["second"]["kernel"], np.zeros((2, 2))
+    )
+
+
+def test_nan_guard(toy_setup):
+    cam, data, prior = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=1e6, n_epochs=3, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    with pytest.raises(FloatingPointError):
+        trainer.fit(state, data, log=lambda m: None)
