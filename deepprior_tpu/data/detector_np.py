@@ -160,6 +160,57 @@ class HandCropper:
         )
         return ret, m, com
 
+    def apply_crop_3d(self, dpt, com, size, dsize, thresh_z=True, background=None):
+        """Crop+resize+center-embed an arbitrary depth image
+        (handdetector.py:353-380)."""
+        xstart, xend, ystart, yend, zstart, zend = self.com_to_bounds(com, size)
+        save = self.dpt
+        self.dpt = np.asarray(dpt, np.float32)
+        try:
+            cropped = self.get_crop(xstart, xend, ystart, yend, zstart, zend,
+                                    thresh_z)
+        finally:
+            self.dpt = save
+        wb, hb = xend - xstart, yend - ystart
+        dw, dh = dsize
+        if wb > hb:
+            sz = (dw, hb * dw // wb)
+        else:
+            sz = (wb * dh // hb, dh)
+        rz = self.resize_nearest(cropped, sz)
+        if background is None:
+            background = 0.0  # ND value post-clamp
+        ret = np.full((dh, dw), background, np.float32)
+        ox = int(np.floor(dw / 2.0 - rz.shape[1] / 2.0))
+        oy = int(np.floor(dh / 2.0 - rz.shape[0] / 2.0))
+        ret[oy : oy + rz.shape[0], ox : ox + rz.shape[1]] = rz
+        return ret
+
+    def get_inverse_crop(self, crop, out_hw, xstart, xend, ystart, yend,
+                         zstart, zend, thresh_z=True, background=0.0):
+        """Paste a crop back into a full frame (handdetector.py:298-334)."""
+        out = np.full(out_hw, background, np.float32)
+        h, w = out_hw
+        if xend <= xstart or yend <= ystart:
+            return out
+        if (xend < 0 and xstart < 0) or (xend > w and xstart > w):
+            return out
+        if (yend < 0 and ystart < 0) or (yend > h and ystart > h):
+            return out
+        rz = self.resize_nearest(np.asarray(crop, np.float32),
+                                 (xend - xstart, yend - ystart))
+        ys, ye = max(ystart, 0), min(yend, h)
+        xs, xe = max(xstart, 0), min(xend, w)
+        out[ys:ye, xs:xe] = rz[
+            ys - ystart : rz.shape[0] - (yend - ye),
+            xs - xstart : rz.shape[1] - (xend - xe),
+        ]
+        if thresh_z:
+            near = (out < zstart) & (out != 0)
+            out[near] = zstart
+            out[out > zend] = 0.0
+        return out
+
     # ------------------------------------------------------------------
     def refine_com_iterative(self, com, num_iter, size=(250.0, 250.0, 250.0)):
         """handdetector.py:546-567 (CoM in full-image coordinates)."""

@@ -204,9 +204,11 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
         )
     else:
         # cv2.INTER_NEAREST uses src = floor(dst * scale) (no half-pixel
-        # offsets) — handdetector.py:343-344 semantics through our M
-        p = jnp.floor(x)
-        q = jnp.floor(y)
+        # offsets) — handdetector.py:343-344 semantics through our M; the
+        # fma-proof start + floor(du*size/sz) form keeps floors
+        # deterministic across backends (see _crop3d_onehot_batch)
+        p = xstart + jnp.floor((u - off_x) * wb / sz_w)
+        q = ystart + jnp.floor((v - off_y) * hb / sz_h)
         in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
         d = _gather2d(dpt, q.astype(jnp.int32), p.astype(jnp.int32))
         # out-of-image parts of the bbox pad with 0 (handdetector.py:274-279)
@@ -223,7 +225,59 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
     return d, zstart, zend
 
 
-def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False):
+def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
+    """Batched nearest crop via separable one-hot selection matmuls.
+
+    An axis-aligned nearest crop is out[v, u] = dpt[q(v), p(u)] — i.e.
+    crop = R @ dpt @ C^T with one-hot R (dh, H), C (dw, W).  TPUs have no
+    efficient vector gather; the two matmuls ride the MXU instead, and
+    out-of-range indices yield all-zero one-hot rows == the reference's
+    zero padding.  Identical indexing math to _crop3d_single (nearest).
+    """
+    b, h, w = dpt.shape
+    dw, dh = dsize
+    xs, xe, ys, ye, zstart, zend = com_to_bounds(com, cube, fx, fy, (h, w))
+    scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
+    wb = xe - xs
+    hb = ye - ys
+
+    # index math in an fma-proof form: du*wb is integer-valued and exact in
+    # f32 (< 2^24), the division is one correctly-rounded op, so floor() is
+    # deterministic across CPU/TPU (the fused (du*scale + start) form lets
+    # backends contract to fma and flip floors near integers)
+    u = jnp.arange(dw, dtype=jnp.float32)
+    v = jnp.arange(dh, dtype=jnp.float32)
+    p = xs[:, None] + jnp.floor(
+        (u[None, :] - off_x[:, None]) * wb[:, None] / sz_w[:, None]
+    )
+    q = ys[:, None] + jnp.floor(
+        (v[None, :] - off_y[:, None]) * hb[:, None] / sz_h[:, None]
+    )
+
+    hh = jnp.arange(h, dtype=jnp.float32)
+    ww = jnp.arange(w, dtype=jnp.float32)
+    rowsel = (q[:, :, None] == hh[None, None, :]).astype(dpt.dtype)  # (B, dh, H)
+    colsel = (p[:, :, None] == ww[None, None, :]).astype(dpt.dtype)  # (B, dw, W)
+    rows = jnp.einsum("bih,bhw->biw", rowsel, dpt)
+    d = jnp.einsum("biw,bjw->bij", rows, colsel)
+
+    zs_b = zstart[:, None, None]
+    ze_b = zend[:, None, None]
+    d = jnp.where((d < zs_b) & (d != 0.0), zs_b, d)
+    d = jnp.where(d > ze_b, 0.0, d)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
+    vv = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
+    in_embed = (
+        (uu >= off_x[:, None, None])
+        & (uu < (off_x + sz_w)[:, None, None])
+        & (vv >= off_y[:, None, None])
+        & (vv < (off_y + sz_h)[:, None, None])
+    )
+    return jnp.where(in_embed, d, 0.0)
+
+
+def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
+           method="gather"):
     """Batched fused cube crop: raw depth maps -> (B, dh, dw) mm patches.
 
     Equivalent of `HandDetector.cropArea3D` (handdetector.py:382-490) minus
@@ -234,13 +288,21 @@ def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False):
     dpt:  (B, H, W) float32, already clamped via `clamp_depth`
     com:  (B, 3) in image coords (u, v, d)
     cube: (B, 3) or (3,) metric cube in mm
+    method: 'gather' (reference-exact dynamic gather) or 'onehot'
+            (MXU-friendly selection matmuls — same indexing, no gather;
+            the fast path on TPU)
     Returns (crop_mm (B, dh, dw), M (B, 3, 3)).
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
     cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
-    crop_fn = lambda d, c, cb: _crop3d_single(d, c, cb, fx, fy, dsize, use_bilinear)[0]
-    crop = jax.vmap(crop_fn)(dpt, com, cube)
+    if method == "onehot" and not use_bilinear:
+        crop = _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize)
+    else:
+        crop_fn = lambda d, c, cb: _crop3d_single(
+            d, c, cb, fx, fy, dsize, use_bilinear
+        )[0]
+        crop = jax.vmap(crop_fn)(dpt, com, cube)
     m = crop_transform(com, cube, fx, fy, dpt.shape[-2:], dsize)
     return crop, m
 
@@ -264,14 +326,15 @@ def normalize_crop(crop_mm, com_z, cube_z, norm_zero_one=False):
 
 
 def normalized_crop(
-    dpt, com, cube, fx, fy, dsize=(128, 128), norm_zero_one=False, use_bilinear=False
+    dpt, com, cube, fx, fy, dsize=(128, 128), norm_zero_one=False,
+    use_bilinear=False, method="gather"
 ):
     """Fused crop + normalize: the full inference-time preprocessing.
 
     One XLA program: bounds -> warp-gather -> z-threshold -> normalize.
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
-    crop, m = crop3d(dpt, com, cube, fx, fy, dsize, use_bilinear)
+    crop, m = crop3d(dpt, com, cube, fx, fy, dsize, use_bilinear, method)
     cube_b = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), jnp.asarray(com).shape)
     return normalize_crop(crop, jnp.asarray(com)[..., 2], cube_b[..., 2], norm_zero_one), m
 

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused cube-crop + normalize over batched depth maps.
+
+The algorithm of ops/crop.crop3d expressed as a single TPU kernel.  The key
+trick: an axis-aligned nearest-neighbor crop is a *separable* gather —
+out[v, u] = dpt[q(v), p(u)] — so it becomes two one-hot selection matmuls
+
+    crop = R @ dpt @ C^T,   R[i, h] = (h == q(i)),  C[j, w] = (w == p(j))
+
+which run on the MXU at full throughput instead of issuing scattered loads
+(TPUs have no efficient vector gather).  Out-of-image coordinates produce
+all-zero one-hot rows, giving the reference's zero padding for free
+(handdetector.py:274-279).  The z-threshold + [-1, 1] normalization
+(handdetector.py:291-295, dataset.py:98-103) fuse as vector epilogue.
+
+Per-sample crop geometry (bounds, scales, embed offsets — all data
+dependent) is computed in plain jnp outside the kernel and fed through
+scalar prefetch, so the kernel sees only flat f32 parameters.
+
+Grid: one program per sample; the (H, W) frame streams HBM->VMEM via the
+BlockSpec pipeline while the previous sample computes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepprior_tpu.ops.crop import _embed_geometry, com_to_bounds
+
+
+def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
+    """params_ref: (B, 12) scalar-prefetch rows [xstart, ystart, wb, hb,
+    off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h]."""
+    i = pl.program_id(0)
+    dw, dh = dsize
+    h, w = dpt_ref.shape
+
+    xstart = params_ref[i, 0]
+    ystart = params_ref[i, 1]
+    wb = params_ref[i, 2]
+    hb = params_ref[i, 3]
+    off_x = params_ref[i, 4]
+    off_y = params_ref[i, 5]
+    zstart = params_ref[i, 6]
+    zend = params_ref[i, 7]
+    com_z = params_ref[i, 8]
+    cube_half = params_ref[i, 9]
+    sz_w = params_ref[i, 10]
+    sz_h = params_ref[i, 11]
+
+    # output pixel grids (2D iota: TPU requires >=2D, integer dtype only)
+    u = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 0).astype(jnp.float32)
+
+    # separable source indices (cv2 INTER_NEAREST floor semantics), in the
+    # fma-proof form start + floor(du * size_ratio) — see ops/crop.py
+    p = xstart + jnp.floor((u[0:1, :] - off_x) * wb / sz_w)  # (1, dw)
+    q = ystart + jnp.floor((v[:, 0:1] - off_y) * hb / sz_h)  # (dh, 1)
+
+    # one-hot row/col selectors; out-of-range -> all-zero row == zero pad
+    hh = jax.lax.broadcasted_iota(jnp.int32, (dh, h), 1).astype(jnp.float32)
+    rowsel = (hh == q).astype(jnp.float32)  # (dh, H)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (dw, w), 1).astype(jnp.float32)
+    colsel = (ww == p.reshape(dw, 1)).astype(jnp.float32)  # (dw, W)
+
+    rows = jnp.dot(rowsel, dpt_ref[:, :], preferred_element_type=jnp.float32)
+    d = jax.lax.dot_general(
+        rows, colsel,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dh, dw)
+
+    # z-threshold: near -> zstart, far -> 0
+    d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
+    d = jnp.where(d > zend, 0.0, d)
+    # embed mask: outside the resized region -> ND background (0)
+    in_embed = (
+        (u >= off_x) & (u < off_x + sz_w) & (v >= off_y) & (v < off_y + sz_h)
+    )
+    d = jnp.where(in_embed, d, 0.0)
+    # normalize (0 == background -> far cube face)
+    d = jnp.where(d == 0.0, com_z + cube_half, d)
+    if norm_zero_one:
+        out = (d - (com_z - cube_half)) / (2.0 * cube_half)
+    else:
+        out = (d - com_z) / cube_half
+    out_ref[:, :] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fx", "fy", "dsize", "norm_zero_one")
+)
+def pallas_normalized_crop(
+    dpt,
+    com,
+    cube,
+    fx: float,
+    fy: float,
+    dsize: Tuple[int, int] = (128, 128),
+    norm_zero_one: bool = False,
+):
+    """Drop-in fast path for ops.crop.normalized_crop (same outputs).
+
+    dpt: (B, H, W) clamped depth; com: (B, 3); cube: (3,) or (B, 3).
+    Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
+    """
+    from deepprior_tpu.ops.crop import crop_transform
+
+    dpt = jnp.asarray(dpt, jnp.float32)
+    com = jnp.asarray(com, jnp.float32)
+    cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
+    b, h, w = dpt.shape
+    dw, dh = dsize
+
+    xs, xe, ys, ye, zs, ze = com_to_bounds(com, cube, fx, fy, (h, w))
+    scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
+    wb = xe - xs
+    hb = ye - ys
+    params = jnp.stack(
+        [
+            xs, ys, wb, hb, off_x, off_y, zs, ze,
+            com[:, 2], cube[:, 2] / 2.0, sz_w, sz_h,
+        ],
+        axis=1,
+    )  # (B, 12)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, dh, dw), lambda i, params: (i, 0, 0)),
+    )
+
+    def kernel(params_ref, dpt_ref, out_ref):
+        _crop_kernel(
+            params_ref,
+            dpt_ref.at[0],
+            out_ref.at[0],
+            dsize=dsize,
+            norm_zero_one=norm_zero_one,
+        )
+
+    crop = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, dh, dw), jnp.float32),
+        grid_spec=grid_spec,
+    )(params, dpt)
+
+    m = crop_transform(com, cube, fx, fy, (h, w), dsize)
+    return crop, m

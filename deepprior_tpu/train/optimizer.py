@@ -52,8 +52,11 @@ def reference_adam(
     with optax.scale(-lr) for the scheduled step size."""
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return AdamState(count=jnp.ones((), jnp.float32), mu=zeros, nu=zeros)
+        # distinct buffers for mu/nu — sharing one zeros tree breaks buffer
+        # donation (the same buffer would be donated twice)
+        mu = jax.tree.map(jnp.zeros_like, params)
+        nu = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(count=jnp.ones((), jnp.float32), mu=mu, nu=nu)
 
     def update(grads, state, params=None):
         del params

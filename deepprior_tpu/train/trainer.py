@@ -292,14 +292,17 @@ class Trainer:
             self._eval_fn = self._build_eval_fn()
         b = self.cfg.batch_size
         n = data.n
+        crops_h = np.asarray(data.crops)
+        gt3d_h = np.asarray(data.gt3d_crop)
+        cube_h = np.asarray(data.cube)
         costs, errs, mms, mmx = [], [], [], []
         for s in range(0, n, b):
             idx = np.arange(s, min(s + b, n))
             if len(idx) < b:
                 idx = np.concatenate([idx, np.full(b - len(idx), n - 1)])
-            crops = jnp.asarray(np.asarray(data.crops)[idx])
-            gt3d = jnp.asarray(np.asarray(data.gt3d_crop)[idx])
-            cube = jnp.asarray(np.asarray(data.cube)[idx])
+            crops = jnp.asarray(crops_h[idx])
+            gt3d = jnp.asarray(gt3d_h[idx])
+            cube = jnp.asarray(cube_h[idx])
             labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
             y = self._targets(labels_norm)
             c, e, mm, mx = self._eval_fn(state, crops, y, gt3d, cube[:, 2])

@@ -21,8 +21,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# build the native capture shim if missing (g++ is in the image)
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu", "cpp")
+_LIB = os.path.join(_CPP_DIR, "libcapture.so")
+if not os.path.exists(_LIB):
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB, os.path.join(_CPP_DIR, "capture.cpp"), "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # capture tests skip when the lib is absent
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,58 @@
+"""Driver-hook smoke tests: entry() compiles, dryrun_multichip runs on the
+simulated 8-device CPU mesh, mains run end-to-end in synthetic mode."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_entry_compiles():
+    import jax
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 14, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_8():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_odd():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(1)
+
+
+@pytest.mark.parametrize(
+    "script",
+    ["main_nyu_posereg_embedding.py", "main_nyu_com_refine.py"],
+)
+def test_mains_synthetic_smoke(script, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # mains/common.py applies it via the config API
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "mains", script),
+            "--synthetic", "--epochs", "2", "--nmax", "48",
+            "--batch-size", "16", "--out", str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "epoch 1" in out.stdout
