@@ -1,0 +1,71 @@
+"""Host->device streaming for datasets larger than HBM.
+
+The reference's `para_load` machinery (reference src/trainer/
+nettrainer.py:701-723, 630-655) runs a loader process that stages the next
+data chunk into shared memory while the GPU trains.  The TPU equivalent:
+a background thread that calls `jax.device_put` on the next chunk while
+the current one computes — XLA transfers overlap compute natively, so a
+single-slot double buffer suffices.
+
+For datasets that *do* fit in HBM (all three reference datasets), prefer
+TrainData device residency (train/trainer.py) — zero per-step host work.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    """Wraps a host-batch iterator; keeps `depth` batches in flight on
+    device."""
+
+    def __init__(self, host_iter: Iterator, depth: int = 2, device=None):
+        self._host_iter = host_iter
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._device = device
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self._host_iter:
+                staged = jax.device_put(batch, self._device)
+                self._q.put(staged)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+def chunked_epochs(
+    arrays: dict,
+    batch_size: int,
+    n_epochs: int,
+    seed: int = 23455,
+    drop_last: bool = True,
+):
+    """Host-side batch generator over a dict of co-indexed numpy arrays,
+    reshuffled per epoch (the macro-batch replacement)."""
+    import numpy as np
+
+    n = next(iter(arrays.values())).shape[0]
+    rng = np.random.default_rng(seed)
+    for _ in range(n_epochs):
+        perm = rng.permutation(n)
+        end = (n // batch_size) * batch_size if drop_last else n
+        for s in range(0, end, batch_size):
+            idx = perm[s : s + batch_size]
+            yield {k: v[idx] for k, v in arrays.items()}

@@ -339,6 +339,23 @@ class Trainer:
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
+    def predict_with_intermediates(self, state: TrainState, crops):
+        """Forward pass returning (output, per-layer intermediates) — the
+        debug-function surface (reference setupDebugFunctions,
+        poseregnettrainer.py:~210: per-layer activation dumps)."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out, mods = self.model.apply(
+            variables,
+            jnp.asarray(crops)[..., None],
+            train=False,
+            capture_intermediates=True,
+            mutable=["intermediates"],
+        )
+        return out, mods["intermediates"]
+
+    # ------------------------------------------------------------------
     def check_nans(self, state: TrainState):
         """Locate NaN parameters (reference checkNaNs, nettrainer.py:909-917)."""
         bad = []
@@ -355,9 +372,15 @@ class Trainer:
         n_epochs: Optional[int] = None,
         snapshot_path: Optional[str] = None,
         log: Callable[[str], None] = print,
+        on_epoch_start: Optional[Callable] = None,
+        on_epoch_end: Optional[Callable] = None,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """The training loop (reference NetTrainer.train, nettrainer.py:778-907):
-        per-epoch LR schedule, NaN guard, snapshots, early-stopping restore."""
+        per-epoch LR schedule, NaN guard, snapshots, early-stopping restore.
+
+        on_epoch_start(epoch, state) / on_epoch_end(epoch, state, costs) are
+        the hook surface (reference pre/post-epoch hooks, nettrainer.py:47-72;
+        per-minibatch hooks do not exist here — the epoch is one fused scan)."""
         cfg = self.cfg
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
@@ -375,6 +398,8 @@ class Trainer:
         best = (np.inf, None, -1)  # (val error, host params, epoch)
         t0 = time.time()
         for epoch in range(n_epochs):
+            if on_epoch_start is not None:
+                on_epoch_start(epoch, state)
             lr = float(sched(epoch))
             perm = rng.permutation(n)[: steps * cfg.batch_size]
             idxs = jnp.asarray(perm.reshape(steps, cfg.batch_size))
@@ -399,6 +424,8 @@ class Trainer:
                 if cfg.use_early_stopping and obs["error_mm_avg"] < best[0]:
                     best = (obs["error_mm_avg"], jax.device_get(state.params), epoch)
             log(msg)
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, state, costs)
             if snapshot_path and (epoch % cfg.snapshot_every) == 0:
                 from deepprior_tpu.train.checkpoint import save_checkpoint
 

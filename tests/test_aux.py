@@ -1,0 +1,71 @@
+"""Auxiliary subsystem tests: prefetcher, hooks, debug activations,
+point cloud."""
+
+import numpy as np
+import pytest
+
+from deepprior_tpu.camera import NYU_CAMERA
+from deepprior_tpu.data.synthetic import make_sequence
+from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+from deepprior_tpu.train.prefetch import DevicePrefetcher, chunked_epochs
+from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
+from deepprior_tpu.utils.pointcloud import PointCloud
+
+
+def test_chunked_epochs_covers_data():
+    arrays = {"x": np.arange(20)[:, None], "y": np.arange(20) * 3}
+    batches = list(chunked_epochs(arrays, batch_size=8, n_epochs=2, seed=0))
+    assert len(batches) == 4  # 2 per epoch, last 4 dropped
+    for b in batches:
+        np.testing.assert_array_equal(b["y"], b["x"][:, 0] * 3)  # co-indexed
+
+
+def test_device_prefetcher():
+    arrays = {"x": np.random.default_rng(0).normal(size=(32, 4)).astype(np.float32)}
+    it = DevicePrefetcher(chunked_epochs(arrays, 8, 1, seed=1))
+    out = list(it)
+    assert len(out) == 4
+    import jax
+
+    assert isinstance(out[0]["x"], jax.Array)
+
+
+def test_epoch_hooks_and_debug_activations():
+    cam = NYU_CAMERA
+    seq = make_sequence(cam, 32, num_joints=14, seed=7)
+    data = TrainData.from_sequence(seq)
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(batch_size=16, n_epochs=2, aug_modes=None)
+    trainer = Trainer(model, cfg, cam)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+
+    events = []
+    state, _ = trainer.fit(
+        state, data, log=lambda m: None,
+        on_epoch_start=lambda e, s: events.append(("start", e)),
+        on_epoch_end=lambda e, s, c: events.append(("end", e, float(c.mean()))),
+    )
+    assert ("start", 0) in events and ("start", 1) in events
+    assert any(ev[0] == "end" and ev[1] == 1 for ev in events)
+
+    out, inter = trainer.predict_with_intermediates(
+        state, np.asarray(data.crops[:16])
+    )
+    assert out.shape == (16, 42)
+    # per-layer activations captured (ConvPool towers + MLP head)
+    assert len(inter) >= 4
+
+
+def test_pointcloud_subsample(tmp_path):
+    pc = PointCloud(max_num_points=100)
+    pts = np.random.default_rng(0).normal(size=(5000, 3)).astype(np.float32)
+    pc.set_points(pts)
+    assert pc.points.shape == (100, 3)
+    pc.add_point([1.0, 2.0, 3.0])
+    assert pc.points.shape == (100, 3)  # replacement, not growth
+    p = pc.save(str(tmp_path / "pc.png"))
+    import os
+
+    assert os.path.getsize(p) > 0
+    pc.clear_points()
+    assert len(pc.points) == 0
