@@ -22,6 +22,8 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
     from deepprior_tpu.camera import NYU_CAMERA
@@ -50,7 +52,8 @@ def main():
         components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
         mean=np.zeros(42, np.float32),
     )
-    est = FusedEstimator(model, cam, prior=prior, refine_iters=0)
+    est = FusedEstimator(model, cam, prior=prior, refine_iters=0,
+                         crop_method="onehot")
 
     depth_d = jax.device_put(jnp.asarray(depth))
     com_d = jax.device_put(jnp.asarray(com))

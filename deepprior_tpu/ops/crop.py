@@ -146,6 +146,21 @@ def crop_transform(com, cube, fx, fy, img_hw, dsize=(128, 128)):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def _exact_floor_div(a, b):
+    """floor(a / b) for integer-valued f32 a (|a| < 2^23) and b > 0, exact
+    under any backend division rewrite.
+
+    TPU/XLA lower a/b to a * reciprocal(b); for exact-integer quotients the
+    reciprocal rounding lands just below the integer and floor() flips.
+    One correction step with exact f32 integer products repairs it.
+    """
+    q = jnp.floor(a / b)
+    r = a - q * b  # exact: both products integer-valued < 2^24
+    q = q + (r >= b).astype(q.dtype)
+    q = q - (r < 0).astype(q.dtype)
+    return q
+
+
 def _gather2d(img, q, p):
     """img: (H, W); q, p: integer index arrays (clipped). Returns img[q, p]."""
     h, w = img.shape
@@ -205,10 +220,9 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
     else:
         # cv2.INTER_NEAREST uses src = floor(dst * scale) (no half-pixel
         # offsets) — handdetector.py:343-344 semantics through our M; the
-        # fma-proof start + floor(du*size/sz) form keeps floors
-        # deterministic across backends (see _crop3d_onehot_batch)
-        p = xstart + jnp.floor((u - off_x) * wb / sz_w)
-        q = ystart + jnp.floor((v - off_y) * hb / sz_h)
+        # exact floor-div keeps indices identical across backends
+        p = xstart + _exact_floor_div((u - off_x) * wb, sz_w)
+        q = ystart + _exact_floor_div((v - off_y) * hb, sz_h)
         in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
         d = _gather2d(dpt, q.astype(jnp.int32), p.astype(jnp.int32))
         # out-of-image parts of the bbox pad with 0 (handdetector.py:274-279)
@@ -241,25 +255,32 @@ def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
     wb = xe - xs
     hb = ye - ys
 
-    # index math in an fma-proof form: du*wb is integer-valued and exact in
-    # f32 (< 2^24), the division is one correctly-rounded op, so floor() is
-    # deterministic across CPU/TPU (the fused (du*scale + start) form lets
-    # backends contract to fma and flip floors near integers)
+    # index math via the exact floor-div: du*wb is integer-valued and exact
+    # in f32 (< 2^24); _exact_floor_div is immune to the backend's
+    # multiply-by-reciprocal division rewrite, so indices are bit-identical
+    # across CPU/TPU and match the host oracle
     u = jnp.arange(dw, dtype=jnp.float32)
     v = jnp.arange(dh, dtype=jnp.float32)
-    p = xs[:, None] + jnp.floor(
-        (u[None, :] - off_x[:, None]) * wb[:, None] / sz_w[:, None]
+    p = xs[:, None] + _exact_floor_div(
+        (u[None, :] - off_x[:, None]) * wb[:, None], sz_w[:, None]
     )
-    q = ys[:, None] + jnp.floor(
-        (v[None, :] - off_y[:, None]) * hb[:, None] / sz_h[:, None]
+    q = ys[:, None] + _exact_floor_div(
+        (v[None, :] - off_y[:, None]) * hb[:, None], sz_h[:, None]
     )
 
     hh = jnp.arange(h, dtype=jnp.float32)
     ww = jnp.arange(w, dtype=jnp.float32)
     rowsel = (q[:, :, None] == hh[None, None, :]).astype(dpt.dtype)  # (B, dh, H)
     colsel = (p[:, :, None] == ww[None, None, :]).astype(dpt.dtype)  # (B, dw, W)
-    rows = jnp.einsum("bih,bhw->biw", rowsel, dpt)
-    d = jnp.einsum("biw,bjw->bij", rows, colsel)
+    # HIGHEST precision: the TPU MXU's default 1-pass bf16 would quantize
+    # the selected depth values (~6 mm error at 1.5 m); bf16x3 is exact for
+    # a one-hot selection of f32 values
+    rows = jnp.einsum(
+        "bih,bhw->biw", rowsel, dpt, precision=jax.lax.Precision.HIGHEST
+    )
+    d = jnp.einsum(
+        "biw,bjw->bij", rows, colsel, precision=jax.lax.Precision.HIGHEST
+    )
 
     zs_b = zstart[:, None, None]
     ze_b = zend[:, None, None]

@@ -57,10 +57,12 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
     u = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 0).astype(jnp.float32)
 
-    # separable source indices (cv2 INTER_NEAREST floor semantics), in the
-    # fma-proof form start + floor(du * size_ratio) — see ops/crop.py
-    p = xstart + jnp.floor((u[0:1, :] - off_x) * wb / sz_w)  # (1, dw)
-    q = ystart + jnp.floor((v[:, 0:1] - off_y) * hb / sz_h)  # (dh, 1)
+    # separable source indices (cv2 INTER_NEAREST floor semantics) via the
+    # backend-rewrite-proof exact floor-div — see ops/crop.py
+    from deepprior_tpu.ops.crop import _exact_floor_div
+
+    p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)  # (1, dw)
+    q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)  # (dh, 1)
 
     # one-hot row/col selectors; out-of-range -> all-zero row == zero pad
     hh = jax.lax.broadcasted_iota(jnp.int32, (dh, h), 1).astype(jnp.float32)
@@ -68,11 +70,18 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
     ww = jax.lax.broadcasted_iota(jnp.int32, (dw, w), 1).astype(jnp.float32)
     colsel = (ww == p.reshape(dw, 1)).astype(jnp.float32)  # (dw, W)
 
-    rows = jnp.dot(rowsel, dpt_ref[:, :], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the MXU's default 1-pass bf16 would quantize the
+    # selected depth values; bf16x3 is exact for one-hot selection of f32
+    rows = jnp.dot(
+        rowsel, dpt_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d = jax.lax.dot_general(
         rows, colsel,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (dh, dw)
 
     # z-threshold: near -> zstart, far -> 0
