@@ -41,14 +41,20 @@ class RealtimeHandposePipeline:
         config: Dict[str, Any],
         camera: Optional[Camera] = None,
         verbose: bool = False,
+        com_refiner=None,
     ):
         """config mirrors the reference dict: {'fx','fy','cube'
-        [,'invX','invY']} (test_realtimepipeline.py:65-67)."""
+        [,'invX','invY']} (test_realtimepipeline.py:65-67).
+
+        com_refiner: optional ops.refine_cnn.CNNComRefiner — the CNN CoM
+        refinement of the reference's track() path (handdetector.py:518-521).
+        """
         self.estimator = estimator
         self.variables = variables
         self.config = dict(config)
         self.camera = camera or estimator.camera
         self.verbose = verbose
+        self.com_refiner = com_refiner
 
         # state machine (realtimehandposepipeline.py:54-109)
         self.state = STATE_IDLE
@@ -84,6 +90,10 @@ class RealtimeHandposePipeline:
             com = hc.refine_com_iterative(self.lastcom, 3, cube)
         else:
             com = hc.detect(cube)
+        if self.com_refiner is not None and not np.allclose(com, 0.0):
+            com = np.asarray(
+                self.com_refiner(hc.dpt[None], com[None].astype(np.float32), cube)
+            )[0]
         self.lastcom = com
 
         if self.state == STATE_INIT and not np.allclose(com, 0.0):

@@ -44,6 +44,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--model", default="poseregnet",
+                   choices=["poseregnet", "resnet"],
+                   help="regressor family (reference: PoseRegNet in the "
+                        "shipped mains, ResNet-47 for the paper's best "
+                        "results / realtime demo)")
     return p
 
 
@@ -90,7 +95,12 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     """The flagship recipe (reference main_nyu_posereg_embedding.py:38-205):
     import -> PCA prior from 1e6 sampled poses -> PoseRegNet 30-D embedding
     training with augmentation -> decode -> metric evaluation."""
-    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.models import (
+        PoseRegNet,
+        PoseRegNetConfig,
+        ResNet,
+        ResNetConfig,
+    )
     from deepprior_tpu.prior import fit_pose_prior
     from deepprior_tpu.train.trainer import TrainConfig, TrainData
 
@@ -111,7 +121,10 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         n_components=n_pca, num_poses=n_poses, aug_modes=tuple(args.aug_modes),
     )
 
-    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=n_pca))
+    if getattr(args, "model", "poseregnet") == "resnet":
+        model = ResNet(ResNetConfig(num_joints=1, n_dims=n_pca, dropout=True))
+    else:
+        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=n_pca))
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr,
         n_epochs=args.epochs, aug_modes=tuple(args.aug_modes), seed=args.seed,

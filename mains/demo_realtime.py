@@ -23,6 +23,13 @@ if __name__ == "__main__":
     p.add_argument("--threaded", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="trained network_prior.ckpt (random weights if absent)")
+    p.add_argument("--model", default="poseregnet",
+                   choices=["poseregnet", "resnet"],
+                   help="resnet mirrors the reference realtime demo "
+                        "(test_realtimepipeline.py: ResNet type 1)")
+    p.add_argument("--comref", action="store_true",
+                   help="enable ScaleNet CNN CoM refinement in the detect "
+                        "path (the reference's comrefNet)")
     args = p.parse_args()
 
     import jax
@@ -36,7 +43,13 @@ if __name__ == "__main__":
     from deepprior_tpu.realtime.pipeline import RealtimeHandposePipeline
 
     cam = NYU_CAMERA
-    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    if args.model == "resnet":
+        from deepprior_tpu.models import ResNet, ResNetConfig
+
+        # the reference realtime demo uses ResNet type 1 (30-D bottleneck)
+        model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
+    else:
+        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
     variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
     rng = np.random.default_rng(0)
     if args.checkpoint:
@@ -58,8 +71,20 @@ if __name__ == "__main__":
         )
 
     est = FusedEstimator(model, cam, prior=prior)
+    com_refiner = None
+    if args.comref:
+        from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+        from deepprior_tpu.ops.refine_cnn import CNNComRefiner
+
+        refine_model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+        refine_vars = refine_model.init(
+            jax.random.key(1), jnp.zeros((1, 128, 128, 1))
+        )
+        com_refiner = CNNComRefiner(refine_model, refine_vars, cam)
     pipe = RealtimeHandposePipeline(
-        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+        est, variables,
+        {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)},
+        com_refiner=com_refiner,
     )
 
     if args.device == "capture":
