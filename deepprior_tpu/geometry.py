@@ -10,6 +10,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def inv3x3(m):
+    """Closed-form inverse of (..., 3, 3) matrices via the adjugate.
+
+    jnp.linalg.inv lowers to a looping LU factorization that is slow for
+    large batches of tiny matrices on TPU; the adjugate is a handful of
+    fused multiplies.
+    """
+    m = jnp.asarray(m)
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def transform_points_2d(pts, m):
     """Apply a 3x3 homogeneous transform to (..., 2+) points.
 

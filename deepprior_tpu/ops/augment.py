@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from deepprior_tpu.camera import Camera
-from deepprior_tpu.geometry import rotate_points_2d
+from deepprior_tpu.geometry import inv3x3, rotate_points_2d
 from deepprior_tpu.ops.crop import com_to_bounds, crop_transform, warp_patch
 
 VALID_MODES = ("none", "com", "rot", "sc")
@@ -148,7 +148,7 @@ def augment_batch(
     #   com/sc: M_new . M^-1   (recropHand, handdetector.py:791)
     #   rot:    R(-rot) about the patch center (rotateHand, 730-737)
     #   none:   identity
-    m_inv = jnp.linalg.inv(m)
+    m_inv = inv3x3(m)
     a_recrop = jnp.einsum("bij,bjk->bik", m_new_geom, m_inv)
 
     center = jnp.array([w // 2, h // 2], jnp.float32)

@@ -375,10 +375,12 @@ def warp_patch(patch, m_fwd, out_hw=None, border=0.0, nv_val=None, use_bilinear=
     patch = jnp.asarray(patch, jnp.float32)
     m_fwd = jnp.asarray(m_fwd, jnp.float32)
 
+    from deepprior_tpu.geometry import inv3x3
+
     def one(img, m):
         h, w = img.shape
         oh, ow = out_hw if out_hw is not None else (h, w)
-        m_inv = jnp.linalg.inv(m)
+        m_inv = inv3x3(m)
         u = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
         v = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
         ones = jnp.ones_like(u)

@@ -1,35 +1,46 @@
-"""Training-throughput probe on TPU: flagship config over synthetic data."""
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 from deepprior_tpu.camera import NYU_CAMERA
 from deepprior_tpu.data.synthetic import make_sequence
 from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
-from deepprior_tpu.prior import fit_pose_prior
-from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
+from deepprior_tpu.ops.augment import augment_batch
+from deepprior_tpu.train.trainer import TrainData
 
 cam = NYU_CAMERA
 seq = make_sequence(cam, 128, num_joints=14, seed=3)
 base = TrainData.from_sequence(seq)
-# tile to a realistic dataset size on device: 72k frames like NYU train
-reps = 72960 // 128
-data = TrainData(
-    np.tile(base.crops, (reps, 1, 1)),
-    np.tile(base.gt3d_crop, (reps, 1, 1)),
-    np.tile(base.com, (reps, 1)),
-    np.tile(base.cube, (reps, 1)),
-    np.tile(base.m, (reps, 1, 1)),
-)
-print("dataset:", data.crops.shape, data.crops.nbytes/1e9, "GB")
-rng = np.random.default_rng(23455)
-prior = fit_pose_prior(cam, rng, base.gt3d_crop, base.com, base.cube, 30, num_poses=20000)
+reps = 2048 // 128
+data = TrainData(*(jnp.asarray(np.tile(a, (reps,)+(1,)*(a.ndim-1))) for a in base))
+B = 128
+idx = jnp.arange(B)
+
+def timeit(name, fn, *args, iters=20):
+    t0=time.perf_counter(); out = fn(*args); jax.block_until_ready(out)
+    print(f"{name}: first {time.perf_counter()-t0:.1f}s", flush=True)
+    t0=time.perf_counter()
+    for _ in range(iters): out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{name}: {(time.perf_counter()-t0)/iters*1000:.2f} ms", flush=True)
+    return out
+
+take = jax.jit(lambda i: tuple(jnp.take(a, i, axis=0) for a in data))
+batch = timeit("take_batch", take, idx)
+crops, gt3d, com, cube, m = batch
+
+aug = jax.jit(lambda k: augment_batch(k, crops, gt3d, com, cube, m, cam, aug_modes=("com","rot","none"))[0])
+timeit("augment(inv3x3)", aug, jax.random.key(0))
+
 model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
-cfg = TrainConfig(batch_size=128, learning_rate=0.001, n_epochs=3,
-                  aug_modes=("com", "rot", "none"))
-trainer = Trainer(model, cfg, cam, prior=prior)
-state = trainer.init_state(data.crops[:128])
-t0 = time.time()
-state, hist = trainer.fit(state, data, n_epochs=3)
-dt = time.time() - t0
-steps = len(hist["train_cost"])
-print(f"{steps} steps in {dt:.1f}s -> {steps/dt:.1f} steps/s, "
-      f"{steps*128/dt:.0f} frames/s, {dt/3:.1f}s/epoch (72.9k frames)")
+variables = model.init(jax.random.key(0), jnp.zeros((1,128,128,1)))
+y = jnp.zeros((B,30))
+@jax.jit
+def fwd(v, x):
+    return model.apply({"params": v["params"]}, x[...,None], train=False)
+timeit("fwd_only", fwd, variables, crops)
+@jax.jit
+def fwdbwd(v, x, y):
+    def loss(p):
+        out = model.apply({"params": p}, x[...,None], train=True, rngs={"dropout": jax.random.key(0)})
+        return jnp.mean(jnp.sum((out-y)**2, 1))
+    return jax.value_and_grad(loss)(v["params"])
+timeit("fwd+bwd", fwdbwd, variables, crops, y)
