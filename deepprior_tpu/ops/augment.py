@@ -26,7 +26,7 @@ then per-sample selected labels — no data-dependent control flow.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,7 @@ def augment_batch(
     sigma_sc: float = 0.02,
     rot_range: float = 180.0,
     norm_zero_one: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Augment a batch of normalized crops + labels on device.
 
@@ -172,7 +173,16 @@ def augment_batch(
     )
 
     # ---- one warp for the whole batch ----
-    warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
+    # the Pallas MXU warp is ~8x faster on TPU; the gather path is the
+    # reference for CPU/tests (bit-identical results, see test_pallas_warp)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and (h % 32 == 0)
+    if use_pallas:
+        from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+        warped = pallas_warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
+    else:
+        warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
     # 'none'/'rot'-with-rot==0 must be bit-exact passthrough; identity warp
     # is exact by construction (round-to-nearest of integer coords)
 

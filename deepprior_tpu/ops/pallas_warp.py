@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: batched affine patch warp (the augmentation hot op).
+
+`ops.augment.augment_batch` re-warps every training crop through a
+per-sample affine (CoM shift / rotation / cube scale).  A general affine is
+not separable like the crop, so the gather formulation costs ~23 ms per
+128-batch on TPU (no vector gather).  This kernel expresses the warp as
+chunked one-hot contractions that ride the MXU:
+
+  val[v, u] = img[q(v,u), p(v,u)]
+            = sum_h R[(v,u), h] * S[(v,u), h],
+  S = C @ img^T   with   C[(v,u), w] = (w == p(v,u)),
+                         R[(v,u), h] = (h == q(v,u))
+
+Processing rows in chunks keeps C/R/S inside VMEM; each chunk is ONE
+(chunk*dw, W) x (W, H) matmul — full MXU utilization instead of 2M scalar
+gathers.  Out-of-range coordinates produce all-zero one-hot rows, i.e. the
+constant border.  HIGHEST matmul precision makes the selection exact for
+f32 depth values (the default 1-pass bf16 would quantize them).
+
+Nearest sampling uses round-to-nearest (floor(x + 0.5)) — cv2 warpAffine/
+warpPerspective semantics (reference handdetector.py:782-793), matching
+ops.crop.warp_patch exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deepprior_tpu.geometry import inv3x3
+
+ROW_CHUNK = 32
+
+
+def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
+    h, w = hw
+    i = pl.program_id(0)
+    inv00 = params_ref[i, 0]
+    inv01 = params_ref[i, 1]
+    inv02 = params_ref[i, 2]
+    inv10 = params_ref[i, 3]
+    inv11 = params_ref[i, 4]
+    inv12 = params_ref[i, 5]
+
+    img = img_ref[:, :]
+
+    n_chunks = h // ROW_CHUNK
+
+    def chunk_body(ci, _):
+        v0 = ci * ROW_CHUNK
+        # output pixel coordinates for this row chunk
+        v = (
+            jax.lax.broadcasted_iota(jnp.int32, (ROW_CHUNK, w), 0) + v0
+        ).astype(jnp.float32)
+        u = jax.lax.broadcasted_iota(jnp.int32, (ROW_CHUNK, w), 1).astype(
+            jnp.float32
+        )
+        # inverse-map to source coords; nearest = floor(x + 0.5)
+        x = inv00 * u + inv01 * v + inv02
+        y = inv10 * u + inv11 * v + inv12
+        p = jnp.floor(x + 0.5).reshape(ROW_CHUNK * w, 1)
+        q = jnp.floor(y + 0.5).reshape(ROW_CHUNK * w, 1)
+
+        ww = jax.lax.broadcasted_iota(
+            jnp.int32, (ROW_CHUNK * w, w), 1
+        ).astype(jnp.float32)
+        csel = (ww == p).astype(jnp.float32)  # (chunk*w, W)
+        hh = jax.lax.broadcasted_iota(
+            jnp.int32, (ROW_CHUNK * w, h), 1
+        ).astype(jnp.float32)
+        rsel = (hh == q).astype(jnp.float32)  # (chunk*w, H)
+
+        s = jax.lax.dot_general(
+            csel, img,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (chunk*w, H)
+        val = jnp.sum(rsel * s, axis=1).reshape(ROW_CHUNK, w)
+
+        in_img = (
+            (p.reshape(ROW_CHUNK, w) >= 0)
+            & (p.reshape(ROW_CHUNK, w) < w)
+            & (q.reshape(ROW_CHUNK, w) >= 0)
+            & (q.reshape(ROW_CHUNK, w) < h)
+        )
+        val = jnp.where(in_img, val, border)
+        if nv_val is not None:
+            # jnp.isclose default tolerances (rtol 1e-5), like warp_patch
+            val = jnp.where(
+                jnp.abs(val - nv_val) <= 1e-5 * abs(nv_val) + 1e-8, border, val
+            )
+        out_ref[pl.ds(v0, ROW_CHUNK), :] = val
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("border", "nv_val"))
+def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
+                      nv_val: Optional[float] = None):
+    """Drop-in fast path for ops.crop.warp_patch (nearest, same out shape).
+
+    patch: (B, H, W) f32; m_fwd: (B, 3, 3) forward transforms.
+    """
+    patch = jnp.asarray(patch, jnp.float32)
+    b, h, w = patch.shape
+    assert h % ROW_CHUNK == 0, f"H={h} must be a multiple of {ROW_CHUNK}"
+    m_inv = inv3x3(jnp.asarray(m_fwd, jnp.float32))
+    params = jnp.stack(
+        [
+            m_inv[:, 0, 0], m_inv[:, 0, 1], m_inv[:, 0, 2],
+            m_inv[:, 1, 0], m_inv[:, 1, 1], m_inv[:, 1, 2],
+        ],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0)),
+    )
+
+    def kernel(params_ref, img_ref, out_ref):
+        _warp_kernel(
+            params_ref, img_ref.at[0], out_ref.at[0],
+            hw=(h, w), border=border, nv_val=nv_val,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        grid_spec=grid_spec,
+    )(params, patch)

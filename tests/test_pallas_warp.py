@@ -1,0 +1,96 @@
+"""Pallas affine-warp kernel vs. the gather reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepprior_tpu.geometry import rotation_matrix_2d
+from deepprior_tpu.ops.crop import warp_patch
+
+
+def _rand_patches(b=3, h=128, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(400.0, 900.0, (b, h, w)).astype(np.float32)
+
+
+def test_pallas_warp_matches_gather_rotation():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = _rand_patches()
+    b = patches.shape[0]
+    ms = np.stack(
+        [
+            np.asarray(rotation_matrix_2d(np.array([64.0, 64.0]), ang))
+            for ang in (0.0, 33.0, -117.0)
+        ]
+    ).astype(np.float32)
+    ref = np.asarray(warp_patch(patches, ms))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pallas_warp_patch(patches, jnp.asarray(ms)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_warp_identity_exact():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = _rand_patches(b=2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pallas_warp_patch(patches, eye))
+    np.testing.assert_array_equal(out, patches)
+
+
+def test_pallas_warp_border_and_nv():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = np.full((1, 128, 128), 32000.0, np.float32)
+    m = np.eye(3, dtype=np.float32)[None].copy()
+    m[0, 0, 2] = 200.0  # shift everything out of frame
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pallas_warp_patch(patches, jnp.asarray(m)))
+    np.testing.assert_array_equal(out, 0.0)  # border
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            pallas_warp_patch(patches, jnp.eye(3)[None], nv_val=32000.0)
+        )
+    np.testing.assert_array_equal(out, 0.0)  # nv masking
+
+
+def test_augment_pallas_flag_matches_gather():
+    """augment_batch(use_pallas=True) in interpret mode == gather path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.data.synthetic import make_frame
+    from deepprior_tpu.ops.augment import augment_batch
+    from deepprior_tpu.ops.crop import normalize_crop
+
+    rng = np.random.default_rng(4)
+    frames = [make_frame(NYU_CAMERA, rng) for _ in range(2)]
+    cube = np.tile(np.array([250.0, 250.0, 250.0], np.float32), (2, 1))
+    crops = np.stack([f.dpt for f in frames])
+    com = np.stack([f.com for f in frames])
+    m = np.stack([f.T for f in frames])
+    gt3d = np.stack([f.gt3Dcrop for f in frames])
+    crops_norm = np.asarray(normalize_crop(crops, com[:, 2], cube[:, 2]))
+
+    key = jax.random.key(1)
+    ref = augment_batch(
+        key, crops_norm, gt3d, com, cube, m, NYU_CAMERA,
+        aug_modes=("com", "rot", "sc", "none"), use_pallas=False,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = augment_batch(
+            key, crops_norm, gt3d, com, cube, m, NYU_CAMERA,
+            aug_modes=("com", "rot", "sc", "none"), use_pallas=True,
+        )
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
