@@ -4,18 +4,19 @@
 per-sample affine (CoM shift / rotation / cube scale).  A general affine is
 not separable like the crop, so the gather formulation costs ~23 ms per
 128-batch on TPU (no vector gather).  This kernel expresses the warp as
-chunked one-hot contractions that ride the MXU:
+one-hot contractions that ride the MXU:
 
-  val[v, u] = img[q(v,u), p(v,u)]
-            = sum_h R[(v,u), h] * S[(v,u), h],
-  S = C @ img^T   with   C[(v,u), w] = (w == p(v,u)),
-                         R[(v,u), h] = (h == q(v,u))
+  val[g] = img[q(g), p(g)]                 (g = flat output pixel index)
+         = sum_h R[g, h] * S[g, h],
+  S = C @ img^T   with   C[g, w] = (w == p(g)),  R[g, h] = (h == q(g))
 
-Processing rows in chunks keeps C/R/S inside VMEM; each chunk is ONE
-(chunk*dw, W) x (W, H) matmul — full MXU utilization instead of 2M scalar
-gathers.  Out-of-range coordinates produce all-zero one-hot rows, i.e. the
-constant border.  HIGHEST matmul precision makes the selection exact for
-f32 depth values (the default 1-pass bf16 would quantize them).
+The grid is (batch, row-chunk); each program contracts one chunk of output
+rows as a single (chunk*W, W) x (W, H) matmul — full MXU utilization
+instead of millions of scalar gathers.  Out-of-range coordinates produce
+all-zero one-hot rows, i.e. the constant border.  HIGHEST matmul precision
+makes the selection exact for f32 depth values (the default 1-pass bf16
+would quantize them).  All tensors stay 2D in (sublane, lane) layout —
+Mosaic does not support cross-lane reshapes.
 
 Nearest sampling uses round-to-nearest (floor(x + 0.5)) — cv2 warpAffine/
 warpPerspective semantics (reference handdetector.py:782-793), matching
@@ -40,6 +41,7 @@ ROW_CHUNK = 32
 def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
     h, w = hw
     i = pl.program_id(0)
+    ci = pl.program_id(1)
     inv00 = params_ref[i, 0]
     inv01 = params_ref[i, 1]
     inv02 = params_ref[i, 2]
@@ -47,58 +49,42 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
     inv11 = params_ref[i, 4]
     inv12 = params_ref[i, 5]
 
-    img = img_ref[:, :]
+    n = ROW_CHUNK * w
+    # flat output pixel index within this chunk -> (u, v) coordinates,
+    # all in (n, 1) column vectors (no cross-lane reshapes)
+    g = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    u_i = jnp.remainder(g, w)
+    v_i = g // w + ci * ROW_CHUNK
+    u = u_i.astype(jnp.float32)
+    v = v_i.astype(jnp.float32)
 
-    n_chunks = h // ROW_CHUNK
+    # inverse-map to source coords; nearest = floor(x + 0.5)
+    x = inv00 * u + inv01 * v + inv02
+    y = inv10 * u + inv11 * v + inv12
+    p = jnp.floor(x + 0.5)  # (n, 1)
+    q = jnp.floor(y + 0.5)
 
-    def chunk_body(ci, _):
-        v0 = ci * ROW_CHUNK
-        # output pixel coordinates for this row chunk
-        v = (
-            jax.lax.broadcasted_iota(jnp.int32, (ROW_CHUNK, w), 0) + v0
-        ).astype(jnp.float32)
-        u = jax.lax.broadcasted_iota(jnp.int32, (ROW_CHUNK, w), 1).astype(
-            jnp.float32
+    ww = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1).astype(jnp.float32)
+    csel = (ww == p).astype(jnp.float32)  # (n, W)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1).astype(jnp.float32)
+    rsel = (hh == q).astype(jnp.float32)  # (n, H)
+
+    s = jax.lax.dot_general(
+        csel, img_ref[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (n, H)
+    val = jnp.sum(rsel * s, axis=1, keepdims=True)  # (n, 1)
+
+    in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
+    val = jnp.where(in_img, val, border)
+    if nv_val is not None:
+        # jnp.isclose default tolerances (rtol 1e-5), like warp_patch
+        val = jnp.where(
+            jnp.abs(val - nv_val) <= 1e-5 * abs(nv_val) + 1e-8, border, val
         )
-        # inverse-map to source coords; nearest = floor(x + 0.5)
-        x = inv00 * u + inv01 * v + inv02
-        y = inv10 * u + inv11 * v + inv12
-        p = jnp.floor(x + 0.5).reshape(ROW_CHUNK * w, 1)
-        q = jnp.floor(y + 0.5).reshape(ROW_CHUNK * w, 1)
-
-        ww = jax.lax.broadcasted_iota(
-            jnp.int32, (ROW_CHUNK * w, w), 1
-        ).astype(jnp.float32)
-        csel = (ww == p).astype(jnp.float32)  # (chunk*w, W)
-        hh = jax.lax.broadcasted_iota(
-            jnp.int32, (ROW_CHUNK * w, h), 1
-        ).astype(jnp.float32)
-        rsel = (hh == q).astype(jnp.float32)  # (chunk*w, H)
-
-        s = jax.lax.dot_general(
-            csel, img,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (chunk*w, H)
-        val = jnp.sum(rsel * s, axis=1).reshape(ROW_CHUNK, w)
-
-        in_img = (
-            (p.reshape(ROW_CHUNK, w) >= 0)
-            & (p.reshape(ROW_CHUNK, w) < w)
-            & (q.reshape(ROW_CHUNK, w) >= 0)
-            & (q.reshape(ROW_CHUNK, w) < h)
-        )
-        val = jnp.where(in_img, val, border)
-        if nv_val is not None:
-            # jnp.isclose default tolerances (rtol 1e-5), like warp_patch
-            val = jnp.where(
-                jnp.abs(val - nv_val) <= 1e-5 * abs(nv_val) + 1e-8, border, val
-            )
-        out_ref[pl.ds(v0, ROW_CHUNK), :] = val
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    out_ref[:, :] = val
 
 
 @functools.partial(jax.jit, static_argnames=("border", "nv_val"))
@@ -111,6 +97,7 @@ def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
     patch = jnp.asarray(patch, jnp.float32)
     b, h, w = patch.shape
     assert h % ROW_CHUNK == 0, f"H={h} must be a multiple of {ROW_CHUNK}"
+    n_chunks = h // ROW_CHUNK
     m_inv = inv3x3(jnp.asarray(m_fwd, jnp.float32))
     params = jnp.stack(
         [
@@ -122,9 +109,11 @@ def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0)),
+        grid=(b, n_chunks),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, ci, params: (i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, ROW_CHUNK * w, 1), lambda i, ci, params: (i, ci, 0)
+        ),
     )
 
     def kernel(params_ref, img_ref, out_ref):
@@ -133,8 +122,9 @@ def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
             hw=(h, w), border=border, nv_val=nv_val,
         )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, 1), jnp.float32),
         grid_spec=grid_spec,
     )(params, patch)
+    return out.reshape(b, h, w)
