@@ -7,6 +7,7 @@ functions accept arbitrary leading batch dimensions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -49,7 +50,8 @@ def transform_points_2d(pts, m):
     xy1 = jnp.concatenate(
         [pts[..., :2], jnp.ones(pts.shape[:-1] + (1,), pts.dtype)], axis=-1
     )
-    out = jnp.einsum("ij,...j->...i", m, xy1)
+    # HIGHEST: coordinate transforms must not round through 1-pass bf16
+    out = jnp.einsum("ij,...j->...i", m, xy1, precision=jax.lax.Precision.HIGHEST)
     xy = out[..., :2] / out[..., 2:3]
     if pts.shape[-1] > 2:
         return jnp.concatenate([xy, pts[..., 2:]], axis=-1)
@@ -146,7 +148,13 @@ def rotate_points_3d(pts, center, angle_x_deg, angle_y_deg, angle_z_deg):
     pts = jnp.asarray(pts)
     center = jnp.asarray(center)
     r = euler_rotation_matrix(angle_x_deg, angle_y_deg, angle_z_deg)
-    return jnp.einsum("...ij,...j->...i", r, pts - center) + center
+    return (
+        jnp.einsum(
+            "...ij,...j->...i", r, pts - center,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + center
+    )
 
 
 def transform_points_3d(pts, m):
@@ -159,7 +167,9 @@ def transform_points_3d(pts, m):
     xyz1 = jnp.concatenate(
         [pts, jnp.ones(pts.shape[:-1] + (1,), pts.dtype)], axis=-1
     )
-    out = jnp.einsum("ij,...j->...i", m, xyz1)
+    out = jnp.einsum(
+        "ij,...j->...i", m, xyz1, precision=jax.lax.Precision.HIGHEST
+    )
     return out[..., :3] / out[..., 3:4]
 
 

@@ -150,7 +150,10 @@ def augment_batch(
     #   rot:    R(-rot) about the patch center (rotateHand, 730-737)
     #   none:   identity
     m_inv = inv3x3(m)
-    a_recrop = jnp.einsum("bij,bjk->bik", m_new_geom, m_inv)
+    # HIGHEST: transform composition must not round through 1-pass bf16
+    a_recrop = jnp.einsum(
+        "bij,bjk->bik", m_new_geom, m_inv, precision=jax.lax.Precision.HIGHEST
+    )
 
     center = jnp.array([w // 2, h // 2], jnp.float32)
     ang = jnp.deg2rad(-jnp.mod(rot, 360.0))

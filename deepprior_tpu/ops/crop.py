@@ -383,12 +383,14 @@ def warp_patch(patch, m_fwd, out_hw=None, border=0.0, nv_val=None, use_bilinear=
         m_inv = inv3x3(m)
         u = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
         v = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
-        ones = jnp.ones_like(u)
-        src = jnp.einsum(
-            "ij,jhw->ihw", m_inv, jnp.stack([u, v, ones], axis=0)
-        )
-        x = src[0] / src[2]
-        y = src[1] / src[2]
+        # elementwise affine, NOT an einsum: on TPU a default-precision
+        # matmul would push the coordinates through 1-pass bf16 and shift
+        # sampled indices by up to half a pixel
+        sx = m_inv[0, 0] * u + m_inv[0, 1] * v + m_inv[0, 2]
+        sy = m_inv[1, 0] * u + m_inv[1, 1] * v + m_inv[1, 2]
+        sz = m_inv[2, 0] * u + m_inv[2, 1] * v + m_inv[2, 2]
+        x = sx / sz
+        y = sy / sz
         if use_bilinear:
             x0, y0 = jnp.floor(x), jnp.floor(y)
             fx_, fy_ = x - x0, y - y0

@@ -38,10 +38,9 @@ from deepprior_tpu.geometry import inv3x3
 ROW_CHUNK = 32
 
 
-def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
+def _warp_kernel(params_ref, img_ref, out_ref, ci, *, hw, border, nv_val):
     h, w = hw
     i = pl.program_id(0)
-    ci = pl.program_id(1)
     inv00 = params_ref[i, 0]
     inv01 = params_ref[i, 1]
     inv02 = params_ref[i, 2]
@@ -50,9 +49,9 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
     inv12 = params_ref[i, 5]
 
     n = ROW_CHUNK * w
-    # flat output pixel index within this chunk -> (u, v) coordinates,
-    # all in (n, 1) column vectors (no cross-lane reshapes)
-    g = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # flat output pixel index on the LANE dimension (shape (1, n)) so the
+    # final write is lane-aligned; sublane dims carry the contraction
+    g = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     u_i = jnp.remainder(g, w)
     v_i = g // w + ci * ROW_CHUNK
     u = u_i.astype(jnp.float32)
@@ -61,21 +60,20 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
     # inverse-map to source coords; nearest = floor(x + 0.5)
     x = inv00 * u + inv01 * v + inv02
     y = inv10 * u + inv11 * v + inv12
-    p = jnp.floor(x + 0.5)  # (n, 1)
+    p = jnp.floor(x + 0.5)  # (1, n)
     q = jnp.floor(y + 0.5)
 
-    ww = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1).astype(jnp.float32)
-    csel = (ww == p).astype(jnp.float32)  # (n, W)
-    hh = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1).astype(jnp.float32)
-    rsel = (hh == q).astype(jnp.float32)  # (n, H)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (w, n), 0).astype(jnp.float32)
+    cselT = (ww == p).astype(jnp.float32)  # (W, n)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0).astype(jnp.float32)
+    rselT = (hh == q).astype(jnp.float32)  # (H, n)
 
-    s = jax.lax.dot_general(
-        csel, img_ref[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+    sT = jnp.dot(
+        img_ref[:, :], cselT,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (n, H)
-    val = jnp.sum(rsel * s, axis=1, keepdims=True)  # (n, 1)
+    )  # (H, n)
+    val = jnp.sum(rselT * sT, axis=0, keepdims=True)  # (1, n)
 
     in_img = (p >= 0) & (p < w) & (q >= 0) & (q < h)
     val = jnp.where(in_img, val, border)
@@ -84,7 +82,7 @@ def _warp_kernel(params_ref, img_ref, out_ref, *, hw, border, nv_val):
         val = jnp.where(
             jnp.abs(val - nv_val) <= 1e-5 * abs(nv_val) + 1e-8, border, val
         )
-    out_ref[:, :] = val
+    return val  # (1, ROW_CHUNK*w)
 
 
 @functools.partial(jax.jit, static_argnames=("border", "nv_val"))
@@ -109,22 +107,26 @@ def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_chunks),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i, ci, params: (i, 0, 0))],
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0))],
         out_specs=pl.BlockSpec(
-            (1, ROW_CHUNK * w, 1), lambda i, ci, params: (i, ci, 0)
+            (1, n_chunks, ROW_CHUNK * w), lambda i, params: (i, 0, 0)
         ),
     )
 
     def kernel(params_ref, img_ref, out_ref):
-        _warp_kernel(
-            params_ref, img_ref.at[0], out_ref.at[0],
-            hw=(h, w), border=border, nv_val=nv_val,
-        )
+        vals = [
+            _warp_kernel(
+                params_ref, img_ref.at[0], None, ci,
+                hw=(h, w), border=border, nv_val=nv_val,
+            )
+            for ci in range(n_chunks)  # static unroll: one matmul per chunk
+        ]
+        out_ref[0, :, :] = jnp.concatenate(vals, axis=0)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * w, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, ROW_CHUNK * w), jnp.float32),
         grid_spec=grid_spec,
     )(params, patch)
     return out.reshape(b, h, w)

@@ -34,15 +34,26 @@ class PCAPrior(NamedTuple):
 
     def transform(self, poses_flat):
         """(N, J*3) normalized poses -> (N, n_components) embeddings."""
+        import jax
         import jax.numpy as jnp
 
-        return (jnp.asarray(poses_flat) - self.mean) @ self.components.T
+        return jnp.matmul(
+            jnp.asarray(poses_flat) - self.mean, self.components.T,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def inverse_transform(self, embedded):
         """(N, n_components) -> (N, J*3); the appended decode layer."""
+        import jax
         import jax.numpy as jnp
 
-        return jnp.asarray(embedded) @ self.components + self.mean
+        return (
+            jnp.matmul(
+                jnp.asarray(embedded), self.components,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + self.mean
+        )
 
 
 def fit_pca(data: np.ndarray, n_components: int = 30) -> PCAPrior:

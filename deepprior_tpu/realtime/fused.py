@@ -78,7 +78,11 @@ class FusedEstimator:
         )
         out = self.model.apply(variables, crops[..., None], train=False)
         if self.prior is not None:
-            out = out @ self.prior.components + self.prior.mean
+            out = (
+                jnp.matmul(out, self.prior.components,
+                           precision=jax.lax.Precision.HIGHEST)
+                + self.prior.mean
+            )
         pose = out.reshape(out.shape[0], -1, 3)
         com3d = cam.img_to_3d(com)
         joints = pose * (self.cube[2] / 2.0) + com3d[:, None, :]

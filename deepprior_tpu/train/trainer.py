@@ -199,7 +199,11 @@ class Trainer:
         attached (reference augment_poses, poseregnettrainer.py:252-259)."""
         if self.prior is not None:
             flat = labels_norm.reshape(labels_norm.shape[0], -1)
-            return (flat - self.prior.mean) @ self.prior.components.T
+            # HIGHEST: training targets stay exact f32 on the MXU
+            return jnp.matmul(
+                flat - self.prior.mean, self.prior.components.T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         return labels_norm
 
     # ------------------------------------------------------------------
@@ -268,7 +272,11 @@ class Trainer:
             cost = _loss_from_targets(out, y)
             err_norm = _error_from_targets(out, y)
             if self.prior is not None:
-                decoded = out @ self.prior.components + self.prior.mean
+                decoded = (
+                    jnp.matmul(out, self.prior.components,
+                               precision=jax.lax.Precision.HIGHEST)
+                    + self.prior.mean
+                )
                 d3 = decoded.reshape(gt3d_mm.shape)
                 dist_mm = jnp.sqrt(
                     jnp.sum(jnp.square(d3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
