@@ -38,11 +38,9 @@ def main():
 
     rng = np.random.default_rng(23455)
     frames = [make_frame(cam, rng, num_joints=14) for _ in range(n_unique)]
-    depth = np.stack([f.extraData["dpt_full"] for f in frames])
-    com = np.stack([f.com for f in frames])
+    depth_u = np.stack([f.extraData["dpt_full"] for f in frames])
+    com_u = np.stack([f.com for f in frames])
     reps = batch // n_unique
-    depth = np.tile(depth, (reps, 1, 1))
-    com = np.tile(com, (reps, 1))
 
     model = PoseRegNet(
         PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
@@ -55,8 +53,11 @@ def main():
     est = FusedEstimator(model, cam, prior=prior, refine_iters=0,
                          crop_method="onehot")
 
-    depth_d = jax.device_put(jnp.asarray(depth))
-    com_d = jax.device_put(jnp.asarray(com))
+    # ship only the unique frames; tile to the full batch on device
+    tile = jax.jit(
+        lambda d, c: (jnp.tile(d, (reps, 1, 1)), jnp.tile(c, (reps, 1)))
+    )
+    depth_d, com_d = tile(jnp.asarray(depth_u), jnp.asarray(com_u))
 
     # warmup / compile
     joints, _, _ = est(variables, depth_d, com_d)
