@@ -151,6 +151,70 @@ class DepthImporter:
         )
 
     # ------------------------------------------------------------------
+    def crop_frames_batched(
+        self, raws: List[dict], cube, docom: bool, dsize=(128, 128),
+        chunk: int = 256,
+    ) -> List[DepthFrame]:
+        """Batched device crop: the TPU-first replacement for the per-frame
+        host crop loop (reference importers.py hot loop, SURVEY.md §3.2).
+
+        raws: list of dicts with keys dpt (full frame), gtorig, gt3Dorig,
+        fileName, subSeqName, side.  All frames must share one shape.
+        Decoding stays host-side (I/O bound); the crop geometry runs as a
+        handful of fused XLA calls: clamp -> (docom: one masked-CoM
+        refinement, the equivalent of cropArea3D's in-cube recompute,
+        handdetector.py:413-427) -> fused warp-crop.
+        """
+        import jax.numpy as jnp
+
+        from deepprior_tpu.geometry import transform_points_2d
+        from deepprior_tpu.ops.com import check_image, refine_com_iterative
+        from deepprior_tpu.ops.crop import clamp_depth, crop3d, crop_transform
+
+        cam = self.camera
+        out: List[DepthFrame] = []
+        cube_arr = np.asarray(cube, np.float32)
+        for s in range(0, len(raws), chunk):
+            part = raws[s : s + chunk]
+            dpt = jnp.asarray(
+                np.stack([r["dpt"] for r in part]).astype(np.float32)
+            )
+            gtorig = np.stack([r["gtorig"] for r in part]).astype(np.float32)
+            com = jnp.asarray(gtorig[:, self.crop_joint_idx, :])
+            dptc, _, _ = clamp_depth(dpt)
+            keep = np.asarray(check_image(dptc, 1.0))
+            if docom:
+                com = refine_com_iterative(
+                    dptc, com, cube_arr, cam.fx, cam.fy, num_iter=1
+                )
+            crop, m = crop3d(dptc, com, cube_arr, cam.fx, cam.fy, dsize)
+            crop = np.asarray(crop)
+            m_np = np.asarray(m)
+            com_np = np.asarray(com)
+            com3d = np.asarray(cam.img_to_3d(com_np))
+            for i, r in enumerate(part):
+                if not keep[i]:
+                    continue
+                out.append(
+                    DepthFrame(
+                        dpt=crop[i],
+                        gtorig=gtorig[i],
+                        gtcrop=np.asarray(
+                            transform_points_2d(gtorig[i], m_np[i]), np.float32
+                        ),
+                        T=m_np[i],
+                        gt3Dorig=np.asarray(r["gt3Dorig"], np.float32),
+                        gt3Dcrop=np.asarray(
+                            r["gt3Dorig"] - com3d[i], np.float32
+                        ),
+                        com=com_np[i],
+                        fileName=r.get("fileName", ""),
+                        subSeqName=r.get("subSeqName", ""),
+                        side=r.get("side", "right"),
+                    )
+                )
+        return out
+
     def _crop_frame(
         self, dpt, gtorig, gt3Dorig, cube, docom, dsize, file_name, sub_seq, side
     ) -> Optional[DepthFrame]:
@@ -217,6 +281,7 @@ class ICVLImporter(DepthImporter):
         docom: bool = False,
         cube: Optional[Tuple[float, float, float]] = None,
         dsize=(128, 128),
+        device_crop: bool = False,
     ) -> ImageSequence:
         config = {"cube": cube if cube is not None else self.default_cubes[seq_name]}
         extra = "_" + "".join(subSeq) if subSeq else ""
@@ -233,9 +298,10 @@ class ICVLImporter(DepthImporter):
         objdir = os.path.join(self.basepath, "Depth")
         labels = os.path.join(self.basepath, f"{seq_name}.txt")
         frames: List[DepthFrame] = []
+        raws: List[dict] = []
         with open(labels) as fh:
             for line in fh:
-                if len(frames) >= Nmax:
+                if len(frames) + len(raws) >= Nmax:
                     break
                 part = line.split(" ")
                 sub_name = ""
@@ -261,12 +327,21 @@ class ICVLImporter(DepthImporter):
                     part[1 : 1 + self.num_joints * 3], np.float32
                 ).reshape(self.num_joints, 3)
                 gt3Dorig = self.jointsImgTo3D(gtorig)
+                if device_crop:
+                    raws.append(dict(dpt=dpt, gtorig=gtorig, gt3Dorig=gt3Dorig,
+                                     fileName=path, subSeqName=sub_name,
+                                     side="left"))
+                    continue
                 frame = self._crop_frame(
                     dpt, gtorig, gt3Dorig, config["cube"], docom, dsize,
                     path, sub_name, "left",
                 )
                 if frame is not None:
                     frames.append(frame)
+        if raws:
+            frames.extend(
+                self.crop_frames_batched(raws, config["cube"], docom, dsize)
+            )
         self._save_cache(cache, frames)
         return self._finish(seq_name, frames, config, shuffle, rng)
 
@@ -349,6 +424,7 @@ class NYUImporter(DepthImporter):
         docom: bool = False,
         cube=None,
         dsize=(128, 128),
+        device_crop: bool = False,
     ) -> ImageSequence:
         import scipy.io
 
@@ -370,8 +446,9 @@ class NYUImporter(DepthImporter):
         joints3D = mat["joint_xyz"][0]
         joints2D = mat["joint_uvd"][0]
         frames: List[DepthFrame] = []
+        raws: List[dict] = []
         for line in range(joints3D.shape[0]):
-            if len(frames) >= Nmax:
+            if len(frames) + len(raws) >= Nmax:
                 break
             path = os.path.join(objdir, f"depth_1_{line + 1:07d}.png")
             if not os.path.isfile(path):
@@ -380,12 +457,21 @@ class NYUImporter(DepthImporter):
             dpt = self.loadDepthMap(path)
             gtorig = joints2D[line][self.eval_idxs].astype(np.float32)
             gt3Dorig = joints3D[line][self.eval_idxs].astype(np.float32)
+            if device_crop:
+                raws.append(dict(dpt=dpt, gtorig=gtorig, gt3Dorig=gt3Dorig,
+                                 fileName=path, subSeqName="",
+                                 side=self.sides[seq_name]))
+                continue
             frame = self._crop_frame(
                 dpt, gtorig, gt3Dorig, config["cube"], docom, dsize,
                 path, "", self.sides[seq_name],
             )
             if frame is not None:
                 frames.append(frame)
+        if raws:
+            frames.extend(
+                self.crop_frames_batched(raws, config["cube"], docom, dsize)
+            )
         self._save_cache(cache, frames)
         return self._finish(seq_name, frames, config, shuffle, rng)
 
@@ -470,6 +556,7 @@ class MSRA15Importer(DepthImporter):
         docom: bool = False,
         cube=None,
         dsize=(128, 128),
+        device_crop: bool = False,
     ) -> ImageSequence:
         config = {"cube": cube if cube is not None else self.default_cubes[seq_name]}
         extra = "_" + "".join(subSeq) if subSeq else ""
@@ -488,6 +575,7 @@ class MSRA15Importer(DepthImporter):
             d for d in os.listdir(objdir) if os.path.isdir(os.path.join(objdir, d))
         )
         frames: List[DepthFrame] = []
+        raws: List[dict] = []
         for subdir in subdirs:
             if subSeq is not None and subdir not in subSeq:
                 continue
@@ -495,7 +583,7 @@ class MSRA15Importer(DepthImporter):
             with open(labels) as fh:
                 n_imgs = int(fh.readline())
                 for i in range(n_imgs):
-                    if len(frames) >= Nmax:
+                    if len(frames) + len(raws) >= Nmax:
                         break
                     part = fh.readline().split(" ")
                     path = os.path.join(objdir, subdir, f"{i:06d}_depth.bin")
@@ -515,11 +603,21 @@ class MSRA15Importer(DepthImporter):
                         )
                         gt3Dorig = self.jointsImgTo3D(gtorig)
                         dpt = dpt[:, ::-1].copy()
+                    if device_crop:
+                        raws.append(dict(dpt=dpt, gtorig=gtorig,
+                                         gt3Dorig=gt3Dorig, fileName=path,
+                                         subSeqName=subdir,
+                                         side=self.sides[seq_name]))
+                        continue
                     frame = self._crop_frame(
                         dpt, gtorig, gt3Dorig, config["cube"], docom, dsize,
                         path, subdir, self.sides[seq_name],
                     )
                     if frame is not None:
                         frames.append(frame)
+        if raws:
+            frames.extend(
+                self.crop_frames_batched(raws, config["cube"], docom, dsize)
+            )
         self._save_cache(cache, frames)
         return self._finish(seq_name, frames, config, shuffle, rng)
