@@ -364,6 +364,47 @@ class Trainer:
         return out, mods["intermediates"]
 
     # ------------------------------------------------------------------
+    def save_train_state(self, path: str, state: TrainState, epoch: int):
+        """Full resumable snapshot: params, batch stats, optimizer moments,
+        step and epoch (extends the reference's params-only net_last.pkl
+        snapshots, nettrainer.py:816-820)."""
+        from deepprior_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": int(state.step),
+                "epoch": epoch,
+            },
+            config=self.cfg._asdict(),
+        )
+
+    def load_train_state(self, path: str, state: TrainState):
+        """Restore a resumable snapshot into an initialized state.
+
+        Returns (state, next_epoch)."""
+        from deepprior_tpu.train.checkpoint import load_checkpoint
+
+        target = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        tree, _ = load_checkpoint(path, target, config=self.cfg._asdict())
+        new_state = TrainState(
+            params=jax.tree.map(jnp.asarray, tree["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, tree["batch_stats"]),
+            opt_state=jax.tree.map(jnp.asarray, tree["opt_state"]),
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        return new_state, int(tree["epoch"]) + 1
+
+    # ------------------------------------------------------------------
     def check_nans(self, state: TrainState):
         """Locate NaN parameters (reference checkNaNs, nettrainer.py:909-917)."""
         bad = []
@@ -382,6 +423,7 @@ class Trainer:
         log: Callable[[str], None] = print,
         on_epoch_start: Optional[Callable] = None,
         on_epoch_end: Optional[Callable] = None,
+        start_epoch: int = 0,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """The training loop (reference NetTrainer.train, nettrainer.py:778-907):
         per-epoch LR schedule, NaN guard, snapshots, early-stopping restore.
@@ -405,7 +447,7 @@ class Trainer:
 
         best = (np.inf, None, -1)  # (val error, host params, epoch)
         t0 = time.time()
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             if on_epoch_start is not None:
                 on_epoch_start(epoch, state)
             lr = float(sched(epoch))
@@ -423,7 +465,7 @@ class Trainer:
                 )
             msg = (
                 f"epoch {epoch}: lr {lr:.2e} cost {costs.mean():.5f} "
-                f"({(time.time() - t0) / (epoch + 1):.2f}s/epoch)"
+                f"({(time.time() - t0) / (epoch - start_epoch + 1):.2f}s/epoch)"
             )
             if val_data is not None and (epoch % cfg.eval_every) == 0:
                 obs = self.evaluate(state, val_data)
@@ -435,14 +477,7 @@ class Trainer:
             if on_epoch_end is not None:
                 on_epoch_end(epoch, state, costs)
             if snapshot_path and (epoch % cfg.snapshot_every) == 0:
-                from deepprior_tpu.train.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    f"{snapshot_path}_last.ckpt",
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)},
-                    config=cfg._asdict(),
-                )
+                self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
 
         if cfg.use_early_stopping and best[1] is not None:
             log(f"best params at epoch {best[2]} (val {best[0]:.3f}mm)")
