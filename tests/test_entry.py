@@ -39,7 +39,13 @@ def test_dryrun_multichip_odd():
 
 @pytest.mark.parametrize(
     "script",
-    ["main_nyu_posereg_embedding.py", "main_nyu_com_refine.py"],
+    [
+        "main_nyu_posereg_embedding.py",
+        "main_nyu_com_refine.py",
+        "main_icvl_posereg_embedding.py",
+        "main_icvl_com_refine.py",
+        "main_msra15_com_refine.py",
+    ],
 )
 def test_mains_synthetic_smoke(script, tmp_path):
     env = dict(os.environ)
