@@ -163,7 +163,9 @@ class DepthImporter:
         Decoding stays host-side (I/O bound); the crop geometry runs as a
         handful of fused XLA calls: clamp -> (docom: one masked-CoM
         refinement, the equivalent of cropArea3D's in-cube recompute,
-        handdetector.py:413-427) -> fused warp-crop.
+        handdetector.py:413-427) -> (comref: CNN CoM refinement when a
+        refine_net CNNComRefiner is attached, handdetector.py:430-441) ->
+        fused warp-crop.
         """
         import jax.numpy as jnp
 
@@ -187,6 +189,9 @@ class DepthImporter:
                 com = refine_com_iterative(
                     dptc, com, cube_arr, cam.fx, cam.fy, num_iter=1
                 )
+                if self.refine_net is not None:
+                    # 'comref' mode: CNN refinement of the detected CoM
+                    com = self.refine_net(dptc, com, cube_arr)
             crop, m = crop3d(dptc, com, cube_arr, cam.fx, cam.fy, dsize)
             crop = np.asarray(crop)
             m_np = np.asarray(m)
