@@ -20,7 +20,7 @@ from typing import Any, NamedTuple, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deepprior_tpu.models.layers import ConvPool, MLPHead
+from deepprior_tpu.models.layers import ConvPool, MLPHead, max_pool
 
 
 class ScaleNetConfig(NamedTuple):
@@ -54,6 +54,36 @@ class _Tower(nn.Module):
         return x.reshape((x.shape[0], -1))
 
 
+class _SharedConvTowers(nn.Module):
+    """Scale towers sharing conv *kernels* with per-scale pooling.
+
+    The reference shares whole layers across scales when shapes allow
+    (scalenet.py:179-180); sharing kernels while keeping each scale's
+    pooling schedule preserves the spatial math for every input size.
+    """
+
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, xs):
+        convs = [
+            nn.Conv(8, (k, k), padding="VALID",
+                    kernel_init=nn.initializers.variance_scaling(
+                        2.0, "fan_in", "normal"),
+                    dtype=self.dtype, name=f"shared_conv_{i}")
+            for i, k in enumerate(_KERNELS)
+        ]
+        feats = []
+        for scale, x in enumerate(xs):
+            h = x.astype(self.dtype)
+            for conv, p in zip(convs, _POOLS[scale]):
+                h = conv(h)
+                h = max_pool(h, (p, p))
+                h = nn.relu(h)
+            feats.append(h.reshape((h.shape[0], -1)))
+        return feats
+
+
 def multiscale_center_crops(x, resize_factor: int = 2):
     """Build the /2 and /4 center crops of (B, H, W, C) inputs.
 
@@ -83,15 +113,10 @@ class ScaleNet(nn.Module):
             xs = multiscale_center_crops(xs, self.cfg.resize_factor)
         assert len(xs) == 3, "ScaleNet type 1 takes 3 scale inputs"
         dt = self.cfg.dtype
-        feats = []
         if self.cfg.shared_conv:
-            tower = _Tower(_POOLS[0], dt)
-            # shared weights require equal spatial schedules; the reference
-            # shares only when tower shapes allow it (scalenet.py:179-180)
-            feats = [tower(x.astype(dt)) for x in xs]
+            feats = _SharedConvTowers(dt)(xs)
         else:
-            for i, x in enumerate(xs):
-                feats.append(_Tower(_POOLS[i], dt)(x.astype(dt)))
+            feats = [_Tower(_POOLS[i], dt)(x.astype(dt)) for i, x in enumerate(xs)]
         x = jnp.concatenate(feats, axis=1)
         out = MLPHead(
             self.cfg.out_dim, hidden=self.cfg.hidden, dropout=self.cfg.dropout, dtype=dt

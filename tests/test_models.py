@@ -133,3 +133,24 @@ def test_bfloat16_compute():
     out = model.apply(vars_, x)
     assert out.dtype == jnp.float32  # output upcast for stable losses
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scalenet_shared_conv():
+    """Shared conv kernels across scales with per-scale pooling (the
+    reference's shared_conv option, scalenet.py:179-180)."""
+    model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3, shared_conv=True))
+    x = jnp.zeros((2, 128, 128, 1))
+    vars_ = model.init(jax.random.key(0), x)
+    out = model.apply(vars_, x)
+    assert out.shape == (2, 3)
+    # exactly 3 shared conv kernels exist (not 9)
+    towers = vars_["params"]["_SharedConvTowers_0"]
+    assert sorted(towers.keys()) == [
+        "shared_conv_0", "shared_conv_1", "shared_conv_2"
+    ]
+
+
+def test_resnet_types_2_3():
+    for rtype in (2, 3):
+        cfg = ResNetConfig.from_reference_type(rtype, num_joints=14)
+        assert cfg.dropout and cfg.embedding is None
