@@ -101,3 +101,24 @@ def test_distributed_eval(dist_setup):
     state = trainer.init_state(np.asarray(data.crops[:16]))
     obs = trainer.evaluate(state, data)
     assert np.isfinite(obs["error_mm_avg"])
+
+
+def test_distributed_resnet_batchnorm(dist_setup):
+    """BatchNorm trains under a dp-sharded batch: with jit+GSPMD the batch
+    mean is a global reduction over the sharded axis (psum inserted by the
+    compiler), so no explicit cross-replica stat sync is needed."""
+    from deepprior_tpu.models import ResNet, ResNetConfig
+
+    cam, data, prior = dist_setup
+    mesh = make_mesh(dp=4, tp=2)
+    model = ResNet(ResNetConfig(num_joints=1, n_dims=30, depth=11,
+                                stages=(8, 16, 16, 16, 16)))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.001, n_epochs=1,
+                      aug_modes=None, model_has_dropout=False)
+    trainer = DistributedTrainer(model, cfg, cam, mesh, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    before = jax.tree.leaves(jax.device_get(state.batch_stats))
+    state, hist = trainer.fit(state, trainer.place_data(data), log=lambda m: None)
+    after = jax.tree.leaves(jax.device_get(state.batch_stats))
+    assert np.isfinite(np.asarray(hist["train_cost"])).all()
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
