@@ -260,6 +260,13 @@ class HandCropper:
             return self.refine_com_iterative(com, 5, size)
         return np.zeros(3, np.float32)
 
+    @staticmethod
+    def check_pose(joints) -> bool:
+        """Anatomical plausibility check — a stub that always passes, like
+        the reference (handdetector.py:492-502 returns True unconditionally;
+        kept for API parity)."""
+        return True
+
     def estimate_hand_size(self, com, size=(250.0, 250.0, 250.0), tol=0.0):
         """Metric cube from the extent of the z-sliced blob around the CoM
         (handdetector.py:911-937, bbox from the thresholded mask)."""

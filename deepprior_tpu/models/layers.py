@@ -28,6 +28,8 @@ DROPOUT_RATE = 0.3
 
 he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 xavier_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+# the reference's SVD-orthogonalized init option (layer.py:~90)
+orthogonal_init = nn.initializers.orthogonal()
 
 
 def max_pool(x, window: Tuple[int, int]):
@@ -36,6 +38,21 @@ def max_pool(x, window: Tuple[int, int]):
     if window == (1, 1):
         return x
     return nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
+
+
+def pool2d(x, window: Tuple[int, int], kind: str = "max"):
+    """Standalone pooling with the reference PoolLayer's type set
+    (poollayer.py:39-157): 'max', 'avg', 'subsample' (strided pick),
+    'none'."""
+    if kind == "none" or window == (1, 1):
+        return x
+    if kind == "max":
+        return nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
+    if kind == "avg":
+        return nn.avg_pool(x, window_shape=window, strides=window, padding="VALID")
+    if kind == "subsample":
+        return x[:, :: window[0], :: window[1], :]
+    raise ValueError(f"unknown pool kind {kind!r}")
 
 
 class ConvPool(nn.Module):

@@ -154,3 +154,24 @@ def test_resnet_types_2_3():
     for rtype in (2, 3):
         cfg = ResNetConfig.from_reference_type(rtype, num_joints=14)
         assert cfg.dropout and cfg.embedding is None
+
+
+def test_pool2d_kinds():
+    from deepprior_tpu.models.layers import pool2d
+
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
+    mx = np.asarray(pool2d(x, (2, 2), "max"))[0, :, :, 0]
+    np.testing.assert_array_equal(mx, [[5, 7], [13, 15]])
+    av = np.asarray(pool2d(x, (2, 2), "avg"))[0, :, :, 0]
+    np.testing.assert_array_equal(av, [[2.5, 4.5], [10.5, 12.5]])
+    ss = np.asarray(pool2d(x, (2, 2), "subsample"))[0, :, :, 0]
+    np.testing.assert_array_equal(ss, [[0, 2], [8, 10]])
+    np.testing.assert_array_equal(np.asarray(pool2d(x, (2, 2), "none")),
+                                  np.asarray(x))
+
+
+def test_orthogonal_init():
+    from deepprior_tpu.models.layers import orthogonal_init
+
+    w = orthogonal_init(jax.random.key(0), (64, 64), jnp.float32)
+    np.testing.assert_allclose(np.asarray(w.T @ w), np.eye(64), atol=1e-4)
