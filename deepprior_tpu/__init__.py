@@ -25,6 +25,19 @@ __version__ = "0.1.0"
 
 from deepprior_tpu.camera import Camera, ICVL_CAMERA, NYU_CAMERA, MSRA15_CAMERA
 
+
+def __getattr__(name):
+    # lazy subpackage access: deepprior_tpu.models / ops / train / ...
+    import importlib
+
+    if name in (
+        "camera", "geometry", "ops", "data", "models", "train",
+        "parallel", "eval", "realtime", "utils", "prior",
+    ):
+        return importlib.import_module(f"deepprior_tpu.{name}")
+    raise AttributeError(name)
+
+
 __all__ = [
     "Camera",
     "ICVL_CAMERA",

@@ -1,27 +1,27 @@
-"""Realtime pipeline fps on TPU: host detect + fused device estimate."""
+"""ResNet-47 accuracy probe on synthetic kinematic hands."""
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 from deepprior_tpu.camera import NYU_CAMERA
-from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
-from deepprior_tpu.prior import PCAPrior
-from deepprior_tpu.realtime.camera import SyntheticDevice
-from deepprior_tpu.realtime.fused import FusedEstimator
-from deepprior_tpu.realtime.pipeline import RealtimeHandposePipeline
+from deepprior_tpu.data.synthetic import make_sequence
+from deepprior_tpu.models import ResNet, ResNetConfig
+from deepprior_tpu.prior import fit_pose_prior
+from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
 
 cam = NYU_CAMERA
-model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
-variables = model.init(jax.random.key(0), jnp.zeros((1,128,128,1)))
-rng = np.random.default_rng(0)
-prior = PCAPrior(rng.standard_normal((30,42)).astype(np.float32)*0.05, np.zeros(42, np.float32))
-est = FusedEstimator(model, cam, prior=prior)
-pipe = RealtimeHandposePipeline(est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.,250.,250.)})
-dev = SyntheticDevice(cam, seed=0)
-res = pipe.process_video(dev, max_frames=60)
-print(f"single-loop: {len(res)} frames, fps {res[-1]['fps']:.1f}, "
-      f"detect {pipe.times['detect']*1000:.1f}ms pose {pipe.times['pose']*1000:.1f}ms", flush=True)
-pipe.tracking = True
-res = pipe.process_video(dev, max_frames=60)
-print(f"tracking: fps {res[-1]['fps']:.1f}, detect {pipe.times['detect']*1000:.1f}ms "
-      f"pose {pipe.times['pose']*1000:.1f}ms", flush=True)
-res = pipe.process_video_threaded(dev, max_frames=60)
-print(f"threaded: {len(res)} results, fps {res[-1]['fps']:.1f}", flush=True)
+t0=time.time()
+train_seq = make_sequence(cam, 3072, num_joints=14, seed=1)
+test_seq = make_sequence(cam, 256, num_joints=14, seed=99)
+print(f"synth gen {time.time()-t0:.0f}s", flush=True)
+data = TrainData.from_sequence(train_seq)
+test = TrainData.from_sequence(test_seq)
+rng = np.random.default_rng(23455)
+prior = fit_pose_prior(cam, rng, data.gt3d_crop, data.com, data.cube, 30, num_poses=200000)
+model = ResNet(ResNetConfig(num_joints=1, n_dims=30, dropout=True))
+cfg = TrainConfig(batch_size=128, learning_rate=0.001, n_epochs=60,
+                  aug_modes=("com","rot","none"), eval_every=10)
+trainer = Trainer(model, cfg, cam, prior=prior)
+state = trainer.init_state(data.crops[:128])
+t0=time.time()
+state, hist = trainer.fit(state, data, val_data=test)
+print(f"train {time.time()-t0:.0f}s", flush=True)
+print("TEST:", trainer.evaluate(state, test), flush=True)
