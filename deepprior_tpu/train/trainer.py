@@ -483,3 +483,99 @@ class Trainer:
             log(f"best params at epoch {best[2]} (val {best[0]:.3f}mm)")
             state = state.replace(params=jax.tree.map(jnp.asarray, best[1]))
         return state, self.history
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self):
+        """Single-batch jitted step for streamed training (host-resident
+        datasets larger than HBM; the para_load replacement)."""
+        cfg = self.cfg
+
+        def step(state, batch, key, lr):
+            aug_key, drop_key = jax.random.split(key)
+            crops = batch["crops"]
+            gt3d = batch["gt3d_crop"]
+            com = batch["com"]
+            cube = batch["cube"]
+            m = batch["m"]
+            if cfg.aug_modes:
+                crops, labels_norm, com, cube, m = augment_batch(
+                    aug_key, crops, gt3d, com, cube, m, self.camera,
+                    aug_modes=tuple(cfg.aug_modes),
+                    sigma_com=cfg.sigma_com, sigma_sc=cfg.sigma_sc,
+                    rot_range=cfg.rot_range, norm_zero_one=cfg.norm_zero_one,
+                )
+            else:
+                labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
+            y = self._targets(labels_norm)
+
+            def loss_fn(params):
+                out, new_bs = self._apply(
+                    params, state.batch_stats, crops, True, drop_key
+                )
+                loss = _loss_from_targets(out, y)
+                if cfg.weightreg_factor > 0.0 and not cfg.model_has_dropout:
+                    loss = loss + cfg.weightreg_factor * _l2_penalty(params)
+                return loss, new_bs
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(new_params, new_bs, new_opt, state.step + 1),
+                loss,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def fit_streamed(
+        self,
+        state: TrainState,
+        arrays: Dict[str, np.ndarray],
+        n_epochs: Optional[int] = None,
+        prefetch_depth: int = 2,
+        log: Callable[[str], None] = print,
+    ) -> Tuple[TrainState, Dict[str, list]]:
+        """Train from host-resident arrays via a double-buffered device
+        prefetcher — for datasets that do not fit in HBM (the TPU-native
+        equivalent of the reference's para_load loader process,
+        nettrainer.py:701-723).
+
+        arrays: co-indexed dict with keys crops, gt3d_crop, com, cube, m.
+        """
+        from deepprior_tpu.train.prefetch import DevicePrefetcher, chunked_epochs
+
+        cfg = self.cfg
+        n_epochs = n_epochs or cfg.n_epochs
+        step_fn = self._build_step_fn()
+        sched = lr_of_ep(cfg.learning_rate)
+        key = jax.random.key(cfg.seed)
+        n = arrays["crops"].shape[0]
+        steps_per_epoch = n // cfg.batch_size
+        it = DevicePrefetcher(
+            chunked_epochs(arrays, cfg.batch_size, n_epochs, seed=cfg.seed),
+            depth=prefetch_depth,
+        )
+        t0 = time.time()
+        costs: list = []
+        for i, batch in enumerate(it):
+            epoch = i // steps_per_epoch
+            key, skey = jax.random.split(key)
+            state, loss = step_fn(state, batch, skey, float(sched(epoch)))
+            costs.append(loss)
+            if (i + 1) % steps_per_epoch == 0:
+                vals = np.asarray(jax.device_get(costs))
+                self.history["train_cost"].extend(vals.tolist())
+                if not np.isfinite(vals).all():
+                    raise FloatingPointError(
+                        f"non-finite streamed cost at epoch {epoch}; "
+                        f"NaN params: {self.check_nans(state) or 'none'}"
+                    )
+                log(
+                    f"epoch {epoch}: cost {vals.mean():.5f} "
+                    f"({(time.time() - t0) / (epoch + 1):.2f}s/epoch)"
+                )
+                costs = []
+        return state, self.history

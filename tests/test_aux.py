@@ -69,3 +69,27 @@ def test_pointcloud_subsample(tmp_path):
     assert os.path.getsize(p) > 0
     pc.clear_points()
     assert len(pc.points) == 0
+
+
+def test_fit_streamed():
+    """Streamed training (host arrays -> prefetcher -> per-batch jit step)
+    learns like the device-resident path."""
+    cam = NYU_CAMERA
+    seq = make_sequence(cam, 64, num_joints=14, seed=13)
+    data = TrainData.from_sequence(seq)
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.002, n_epochs=6,
+                      aug_modes=("com", "rot", "none"))
+    trainer = Trainer(model, cfg, cam)
+    state = trainer.init_state(arrays["crops"][:16])
+    state, hist = trainer.fit_streamed(state, arrays, log=lambda m: None)
+    costs = np.asarray(hist["train_cost"])
+    assert np.isfinite(costs).all()
+    assert costs[-8:].mean() < costs[:8].mean()
