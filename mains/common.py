@@ -155,6 +155,9 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     )
 
     # test: decode to mm and run the metric suite (main:161-205)
+    import json
+
+    metrics = {}
     results = {}
     for seq in tests:
         tdata = TrainData.from_sequence(seq)
@@ -172,6 +175,19 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
               f"max {hpe.getMaxError():.3f}mm")
         hpe.plotEvaluation(f"{prefix}_{seq.name}")
         results[seq.name] = hpe
+        metrics[seq.name] = {
+            "mean_mm": hpe.getMeanError(),
+            "max_mm": hpe.getMaxError(),
+            "median_mm": hpe.getMedianError(),
+            "frames_within_40mm": hpe.getFractionWithinMaxDist(40.0),
+            "per_joint_mean_mm": [
+                hpe.getJointMeanError(j) for j in range(joints.shape[1])
+            ],
+        }
+    # per-run result record (the reference pickles results under
+    # eval/<prefix>/, main:184; a JSON is the durable equivalent)
+    with open(os.path.join(outdir, "results.json"), "w") as fh:
+        json.dump(metrics, fh, indent=1)
     return state, results
 
 
