@@ -151,6 +151,37 @@ class DepthImporter:
         )
 
     # ------------------------------------------------------------------
+    def load_refine_net_lazy(self, net, dsize=(128, 128)):
+        """Attach a CoM-refinement CNN from a checkpoint path (the
+        reference's loadRefineNetLazy, importers.py:175-184 — whose
+        hard-coded ScaleNetParams(type=5) was a latent NotImplementedError;
+        here the checkpoint must hold a ScaleNet(num_joints=1, n_dims=3)).
+
+        `net` may also already be a CNNComRefiner (used as-is) or None.
+        """
+        if net is None or not isinstance(net, (str, os.PathLike)):
+            if net is not None:
+                self.refine_net = net
+            return self.refine_net
+        import jax
+        import jax.numpy as jnp
+
+        from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+        from deepprior_tpu.ops.refine_cnn import CNNComRefiner
+        from deepprior_tpu.train.checkpoint import load_checkpoint
+
+        model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1,) + tuple(dsize) + (1,))
+        )
+        tree, _ = load_checkpoint(
+            str(net), {"params": variables["params"], "batch_stats": {}}
+        )
+        self.refine_net = CNNComRefiner(
+            model, {"params": tree["params"]}, self.camera, dsize
+        )
+        return self.refine_net
+
     def crop_frames_batched(
         self, raws: List[dict], cube, docom: bool, dsize=(128, 128),
         chunk: int = 256,

@@ -75,9 +75,9 @@ def load_or_synthesize(args, importer_cls, camera, train_seq, test_seqs,
     return train, tests
 
 
-def make_trainer(model, cfg, camera, prior=None):
-    """Single-chip Trainer, or DistributedTrainer when a mesh is requested
-    and >1 device is available."""
+def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1):
+    """Single-chip Trainer, or DistributedTrainer over a ('dp','tp') mesh
+    when more than one device is available."""
     import jax
 
     from deepprior_tpu.parallel import DistributedTrainer, make_mesh
@@ -85,7 +85,7 @@ def make_trainer(model, cfg, camera, prior=None):
 
     n = len(jax.devices())
     if n > 1:
-        mesh = make_mesh(dp=None, tp=1)
+        mesh = make_mesh(dp=dp, tp=tp or 1)
         return DistributedTrainer(model, cfg, camera, mesh, prior=prior)
     return Trainer(model, cfg, camera, prior=prior)
 
@@ -129,7 +129,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         batch_size=args.batch_size, learning_rate=args.lr,
         n_epochs=args.epochs, aug_modes=tuple(args.aug_modes), seed=args.seed,
     )
-    trainer = make_trainer(model, cfg, camera, prior=prior)
+    trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp, tp=args.tp)
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
     if hasattr(trainer, "place_data"):
         data = trainer.place_data(data)
@@ -220,7 +220,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         learning_rate=args.lr, n_epochs=args.epochs,
         aug_modes=tuple(args.aug_modes), seed=args.seed,
     )
-    trainer = make_trainer(model, cfg, camera, prior=None)
+    trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp, tp=args.tp)
     state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
     if hasattr(trainer, "place_data"):
         data = trainer.place_data(data)

@@ -66,3 +66,29 @@ def test_device_crop_docom(icvl_tree):
         # crop stays centered on it
         assert f.dpt.shape == (128, 128)
         assert np.isfinite(f.com).all()
+
+
+def test_load_refine_net_lazy(icvl_tree, tmp_path):
+    """Checkpoint-path refine-net loading (the reference's loadRefineNetLazy
+    surface, importers.py:175-184) + comref device import."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.data.importers import ICVLImporter
+    from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+    from deepprior_tpu.ops.refine_cnn import CNNComRefiner
+    from deepprior_tpu.train.checkpoint import save_checkpoint
+
+    model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    path = str(tmp_path / "refine.ckpt")
+    save_checkpoint(path, {"params": variables["params"], "batch_stats": {}})
+
+    imp = ICVLImporter(icvl_tree, use_cache=False)
+    refiner = imp.load_refine_net_lazy(path)
+    assert isinstance(refiner, CNNComRefiner)
+    seq = imp.loadSequence("train", device_crop=True, docom=True)
+    assert len(seq.data) == 5
+
+    # passing an existing refiner through is a no-op wrap
+    assert imp.load_refine_net_lazy(refiner) is refiner
