@@ -32,9 +32,13 @@ def main():
     from deepprior_tpu.prior import PCAPrior
     from deepprior_tpu.realtime.fused import FusedEstimator
 
+    import os
+
     cam = NYU_CAMERA
     batch = 1024
     n_unique = 16
+    # BENCH_MODEL=resnet benches the paper's big model instead
+    model_name = os.environ.get("BENCH_MODEL", "poseregnet")
 
     rng = np.random.default_rng(23455)
     frames = [make_frame(cam, rng, num_joints=14) for _ in range(n_unique)]
@@ -42,9 +46,14 @@ def main():
     com_u = np.stack([f.com for f in frames])
     reps = batch // n_unique
 
-    model = PoseRegNet(
-        PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
-    )
+    if model_name == "resnet":
+        from deepprior_tpu.models import ResNet, ResNetConfig
+
+        model = ResNet(ResNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16))
+    else:
+        model = PoseRegNet(
+            PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
+        )
     variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
     prior = PCAPrior(
         components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,

@@ -39,9 +39,7 @@ def icvl_tree(tmp_path_factory):
     for i in range(3):
         dpt, gtorig, gt3d = _make_hand_scene(cam, rng, 16)
         rel = f"seq1/image_{i:04d}.png"
-        Image.fromarray(dpt.astype(np.uint16), mode="I;16").save(
-            root / "Depth" / rel
-        )
+        Image.fromarray(dpt.astype(np.uint16)).save(root / "Depth" / rel)
         vals = " ".join(f"{v:.4f}" for v in gtorig.reshape(-1))
         lines.append(f"{rel} {vals}")
         truths.append((gtorig, gt3d))
