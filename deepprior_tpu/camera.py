@@ -78,6 +78,38 @@ class Camera(NamedTuple):
         return self.three_d_to_img(xyz)
 
     # ------------------------------------------------------------------
+    # numpy twins — for host-side code paths (importers, synthetic data,
+    # realtime overlays).  Eager jnp ops dispatch to the accelerator, which
+    # is a per-op round trip on remote-device setups; these stay on host.
+    # ------------------------------------------------------------------
+    def img_to_3d_np(self, uvd):
+        import numpy as np
+
+        uvd = np.asarray(uvd, np.float32)
+        u, v, d = uvd[..., 0], uvd[..., 1], uvd[..., 2]
+        x = (u - self.ux) * d / self.fx
+        if self.flip_y:
+            y = (self.uy - v) * d / self.fy
+        else:
+            y = (v - self.uy) * d / self.fy
+        return np.stack([x, y, d], axis=-1)
+
+    def three_d_to_img_np(self, xyz):
+        import numpy as np
+
+        xyz = np.asarray(xyz, np.float32)
+        x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+        safe_z = np.where(z == 0.0, 1.0, z)
+        u = x / safe_z * self.fx + self.ux
+        if self.flip_y:
+            v = self.uy - y / safe_z * self.fy
+        else:
+            v = y / safe_z * self.fy + self.uy
+        u = np.where(z == 0.0, self.ux, u)
+        v = np.where(z == 0.0, self.uy, v)
+        return np.stack([u, v, z], axis=-1)
+
+    # ------------------------------------------------------------------
     # matrices
     # ------------------------------------------------------------------
     def intrinsics(self):

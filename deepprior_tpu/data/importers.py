@@ -40,7 +40,7 @@ from deepprior_tpu.camera import (
 )
 from deepprior_tpu.data.basetypes import DepthFrame, ImageSequence
 from deepprior_tpu.data.detector_np import HandCropper
-from deepprior_tpu.geometry import transform_points_2d
+from deepprior_tpu.geometry import transform_points_2d_np
 
 
 def _detection_mode(docom: bool, refine: bool) -> str:
@@ -87,13 +87,13 @@ class DepthImporter:
         return self.camera.fy
 
     def jointImgTo3D(self, uvd):
-        return np.asarray(self.camera.img_to_3d(np.asarray(uvd, np.float32)))
+        return self.camera.img_to_3d_np(uvd)
 
     def jointsImgTo3D(self, uvd):
         return self.jointImgTo3D(uvd)
 
     def joint3DToImg(self, xyz):
-        return np.asarray(self.camera.three_d_to_img(np.asarray(xyz, np.float32)))
+        return self.camera.three_d_to_img_np(xyz)
 
     def joints3DToImg(self, xyz):
         return self.joint3DToImg(xyz)
@@ -267,7 +267,7 @@ class DepthImporter:
         return DepthFrame(
             dpt=crop.astype(np.float32),
             gtorig=np.asarray(gtorig, np.float32),
-            gtcrop=np.asarray(transform_points_2d(gtorig, m), np.float32),
+            gtcrop=np.asarray(transform_points_2d_np(gtorig, m), np.float32),
             T=np.asarray(m, np.float32),
             gt3Dorig=np.asarray(gt3Dorig, np.float32),
             gt3Dcrop=np.asarray(gt3Dorig - com3d, np.float32),

@@ -17,7 +17,7 @@ import numpy as np
 from deepprior_tpu.camera import Camera
 from deepprior_tpu.data.basetypes import DepthFrame, ImageSequence
 from deepprior_tpu.data.detector_np import HandCropper
-from deepprior_tpu.geometry import transform_points_2d
+from deepprior_tpu.geometry import transform_points_2d_np
 
 
 def synthetic_hand(
@@ -117,7 +117,7 @@ def render_depth(
     dpt = np.full((h, w), np.inf, np.float32)
     pts3d = np.asarray(pose3d) + com3d[None, :]
     radii = np.broadcast_to(np.asarray(radius_mm, np.float32), (len(pts3d),))
-    uvd = np.asarray(camera.three_d_to_img(pts3d))
+    uvd = camera.three_d_to_img_np(pts3d)
     for (u, v, d), r in zip(uvd, radii):
         if d <= 0:
             continue
@@ -157,7 +157,7 @@ def make_frame(
     u = rng.uniform(margin, camera.width - margin)
     v = rng.uniform(margin, camera.height - margin)
     com = np.array([u, v, d], np.float32)
-    com3d = np.asarray(camera.img_to_3d(com))
+    com3d = camera.img_to_3d_np(com)
     pose3d, fill_pts, fill_radii = synthetic_hand(rng, num_joints)
 
     all_pts = np.concatenate([pose3d, fill_pts], axis=0)
@@ -166,14 +166,14 @@ def make_frame(
     )
     dpt_full = render_depth(camera, com3d, all_pts, all_radii)
     gt3d_orig = pose3d + com3d[None, :]
-    gtorig = np.asarray(camera.three_d_to_img(gt3d_orig))
+    gtorig = camera.three_d_to_img_np(gt3d_orig)
 
     hc = HandCropper(dpt_full, camera)
     crop, m, com_used = hc.crop_area_3d(
         com=gtorig[0], size=cube, dsize=dsize, docom=docom
     )
-    com3d_used = np.asarray(camera.img_to_3d(com_used))
-    gtcrop = np.asarray(transform_points_2d(gtorig, m))
+    com3d_used = camera.img_to_3d_np(com_used)
+    gtcrop = transform_points_2d_np(gtorig, m)
     return DepthFrame(
         dpt=crop,
         gtorig=gtorig.astype(np.float32),

@@ -58,6 +58,41 @@ def transform_points_2d(pts, m):
     return xy
 
 
+def transform_points_2d_np(pts, m):
+    """Numpy twin of transform_points_2d for host-side paths (importers,
+    synthetic fixtures) — avoids per-op accelerator round trips."""
+    import numpy as np
+
+    pts = np.asarray(pts, np.float32)
+    m = np.asarray(m, np.float32)
+    xy1 = np.concatenate(
+        [pts[..., :2], np.ones(pts.shape[:-1] + (1,), np.float32)], axis=-1
+    )
+    out = xy1 @ m.T
+    xy = out[..., :2] / out[..., 2:3]
+    if pts.shape[-1] > 2:
+        return np.concatenate([xy, pts[..., 2:]], axis=-1)
+    return xy
+
+
+def rotate_points_2d_np(pts, center, angle_deg):
+    """Numpy twin of rotate_points_2d."""
+    import numpy as np
+
+    pts = np.asarray(pts, np.float64)
+    center = np.asarray(center, np.float64)
+    a = np.deg2rad(np.asarray(angle_deg, np.float64))
+    c, s = np.cos(a), np.sin(a)
+    dx = pts[..., 0] - center[..., 0]
+    dy = pts[..., 1] - center[..., 1]
+    x = dx * c - dy * s + center[..., 0]
+    y = dx * s + dy * c + center[..., 1]
+    out = np.stack([x, y], axis=-1)
+    if pts.shape[-1] > 2:
+        return np.concatenate([out, pts[..., 2:]], axis=-1)
+    return out
+
+
 def rotation_matrix_2d(center, angle_deg):
     """3x3 homogeneous matrix rotating by `angle_deg` about `center`.
 

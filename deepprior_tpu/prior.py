@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Sequence
 import numpy as np
 
 from deepprior_tpu.camera import Camera
-from deepprior_tpu.geometry import rotate_points_2d
+from deepprior_tpu.geometry import rotate_points_2d_np
 
 
 class PCAPrior(NamedTuple):
@@ -100,7 +100,7 @@ def sample_random_poses(
     pose = base_poses[ridx].astype(np.float64)  # (P, J, 3)
     com_img = base_com[ridx].astype(np.float64)
     cube = base_cube[ridx].astype(np.float64)
-    com3d = np.asarray(camera.img_to_3d(com_img), np.float64)
+    com3d = np.asarray(camera.img_to_3d_np(com_img), np.float64)
 
     out = np.empty((num_poses, j, 3), np.float64)
     out_cube_z = cube[:, 2].copy()
@@ -120,14 +120,12 @@ def sample_random_poses(
         elif mode == "rot":
             # in-plane rotation about the CoM in image space (861-868)
             p3d = pose[sel] + com3d[sel][:, None, :]
-            p2d = np.asarray(camera.three_d_to_img(p3d), np.float64)
-            center = np.asarray(camera.three_d_to_img(com3d[sel]), np.float64)
-            r2d = np.asarray(
-                rotate_points_2d(p2d, center[:, None, :2], rot[sel, None])
-            )
-            out[sel] = np.asarray(camera.img_to_3d(r2d), np.float64) - com3d[sel][
-                :, None, :
-            ]
+            p2d = np.asarray(camera.three_d_to_img_np(p3d), np.float64)
+            center = np.asarray(camera.three_d_to_img_np(com3d[sel]), np.float64)
+            r2d = rotate_points_2d_np(p2d, center[:, None, :2], rot[sel, None])
+            out[sel] = np.asarray(
+                camera.img_to_3d_np(r2d), np.float64
+            ) - com3d[sel][:, None, :]
         else:
             raise NotImplementedError(f"aug mode {mode!r}")
 

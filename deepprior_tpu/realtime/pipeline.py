@@ -265,7 +265,7 @@ class RealtimeHandposePipeline:
         return the image so callers choose the sink)."""
         frame = result["frame"]
         joints3d = result["joints3d"]
-        uvd = np.asarray(self.camera.three_d_to_img(joints3d))
+        uvd = self.camera.three_d_to_img_np(joints3d)
         ev_cls = evaluation_for(joints3d.shape[0])
         lo, hi = frame[frame > 0].min() if (frame > 0).any() else 0.0, max(
             frame.max(), 1.0

@@ -166,7 +166,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
             emb.shape[0], -1, 3
         )
         cube_z = np.asarray(tdata.cube)[:, 2][:, None, None]
-        com3d = np.asarray(camera.img_to_3d(np.asarray(tdata.com)))
+        com3d = camera.img_to_3d_np(np.asarray(tdata.com))
         joints = decoded * (cube_z / 2.0) + com3d[:, None, :]
         gt3d = np.stack([f.gt3Dorig for f in seq.data])
         hpe = eval_cls(gt3d, joints)
