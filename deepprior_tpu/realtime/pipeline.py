@@ -22,7 +22,6 @@ import numpy as np
 from deepprior_tpu.camera import Camera
 from deepprior_tpu.data.detector_np import HandCropper
 from deepprior_tpu.eval.datasets import evaluation_for
-from deepprior_tpu.geometry import transform_points_2d
 from deepprior_tpu.realtime.fused import FusedEstimator
 
 STATE_IDLE = 0
