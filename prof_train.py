@@ -9,7 +9,7 @@ from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
 
 cam = NYU_CAMERA
 t0=time.time()
-train_seq = make_sequence(cam, 12288, num_joints=14, seed=1)
+train_seq = make_sequence(cam, 49152, num_joints=14, seed=1)
 test_seq = make_sequence(cam, 512, num_joints=14, seed=99)
 print(f"synth gen {time.time()-t0:.0f}s", flush=True)
 data = TrainData.from_sequence(train_seq)
