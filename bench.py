@@ -21,8 +21,15 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
 
+    # honor JAX_PLATFORMS even where a sitecustomize force-registers another
+    # backend (the env var alone does not stick; the config API does)
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        jax.config.update("jax_platforms", _plat)
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
 
@@ -35,8 +42,8 @@ def main():
     import os
 
     cam = NYU_CAMERA
-    batch = 1024
-    n_unique = 16
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    n_unique = min(16, batch)
     # BENCH_MODEL=resnet benches the paper's big model instead
     model_name = os.environ.get("BENCH_MODEL", "poseregnet")
 
@@ -72,7 +79,7 @@ def main():
     joints, _, _ = est(variables, depth_d, com_d)
     joints.block_until_ready()
 
-    iters = 20
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(iters):
         joints, _, _ = est(variables, depth_d, com_d)

@@ -62,3 +62,21 @@ def test_mains_synthetic_smoke(script, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "epoch 1" in out.stdout
+
+
+def test_bench_contract(tmp_path):
+    """bench.py prints exactly one JSON line with the required keys."""
+    import json
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", BENCH_BATCH="16", BENCH_ITERS="2")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "fps" and rec["value"] > 0
