@@ -1,31 +1,32 @@
-"""Generate demo artifacts: skeleton overlays + evaluation plots."""
-import os
-import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np
+"""Isolate steady-state train-step time (scan inside one epoch call)."""
+import time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 from deepprior_tpu.camera import NYU_CAMERA
 from deepprior_tpu.data.synthetic import make_sequence
-from deepprior_tpu.eval import NYUHandposeEvaluation
-from deepprior_tpu.eval.plots import plot_result_3d
-from deepprior_tpu.geometry import transform_points_2d_np
+from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+from deepprior_tpu.prior import fit_pose_prior
+from deepprior_tpu.train.trainer import TrainConfig, TrainData, Trainer
 
-out = "docs/artifacts"
 cam = NYU_CAMERA
-seq = make_sequence(cam, 64, num_joints=14, seed=42, keep_full=True)
-gt = np.stack([f.gt3Dorig for f in seq.data])
-rng = np.random.default_rng(0)
-pred = gt + rng.normal(0, 6.0, gt.shape)   # a plausible "8mm-ish" predictor
-hpe = NYUHandposeEvaluation(gt, pred)
-hpe.subfolder = out
-files = hpe.plotEvaluation("demo", methodName="deepprior_tpu",
-                           baseline=[("worse baseline", NYUHandposeEvaluation(gt, gt + rng.normal(0, 14.0, gt.shape)))])
-print(files)
-f = seq.data[0]
-pred_crop = transform_points_2d_np(cam.three_d_to_img_np(pred[0]), f.T)
-p = hpe.plotResult(f.dpt, f.gtcrop, pred_crop, name="demo_overlay")
-print(p)
-pcl = cam.depth_to_pcl(f.extraData["dpt_full"])
-# recentre pcl on the hand for the 3D render
-p3 = plot_result_3d(hpe, gt[0], pcl, name="demo")
-print(p3)
-print("mean err of demo predictor:", hpe.getMeanError())
+seq = make_sequence(cam, 8192, num_joints=14, seed=3)
+data = TrainData.from_sequence(seq)
+rng = np.random.default_rng(23455)
+prior = fit_pose_prior(cam, rng, data.gt3d_crop, data.com, data.cube, 30, num_poses=20000)
+model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+cfg = TrainConfig(batch_size=128, learning_rate=0.001, n_epochs=1, aug_modes=("com","rot","none"))
+trainer = Trainer(model, cfg, cam, prior=prior)
+state = trainer.init_state(data.crops[:128])
+data_dev = jax.tree.map(jnp.asarray, data)
+fn = trainer._build_epoch_fn()
+steps = 8192 // 128
+idxs = jnp.asarray(np.random.default_rng(0).permutation(8192)[: steps*128].reshape(steps, 128))
+key = jax.random.key(0)
+state, costs = fn(state, key, idxs, data_dev, 0.001)  # compile
+jax.block_until_ready(costs)
+t0 = time.perf_counter()
+for _ in range(5):
+    state, costs = fn(state, key, idxs, data_dev, 0.001)
+jax.block_until_ready(costs)
+dt = (time.perf_counter() - t0) / 5
+print(f"epoch of {steps} steps: {dt*1000:.1f} ms -> {dt/steps*1000:.2f} ms/step, "
+      f"{steps*128/dt:.0f} frames/s", flush=True)
