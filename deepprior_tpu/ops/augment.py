@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from deepprior_tpu.camera import Camera
-from deepprior_tpu.geometry import inv3x3, rotate_points_2d
+from deepprior_tpu.geometry import inv3x3, rotate_points_2d, rotation_matrix_2d
 from deepprior_tpu.ops.crop import com_to_bounds, crop_transform, warp_patch
 
 VALID_MODES = ("none", "com", "rot", "sc")
@@ -156,17 +156,14 @@ def augment_batch(
     )
 
     center = jnp.array([w // 2, h // 2], jnp.float32)
-    ang = jnp.deg2rad(-jnp.mod(rot, 360.0))
-    ca, sa = jnp.cos(ang), jnp.sin(ang)
-    zeros = jnp.zeros_like(ca)
-    ones = jnp.ones_like(ca)
-    a_rot = jnp.stack(
-        [
-            jnp.stack([ca, -sa, center[0] - ca * center[0] + sa * center[1]], -1),
-            jnp.stack([sa, ca, center[1] - sa * center[0] - ca * center[1]], -1),
-            jnp.stack([zeros, zeros, ones], -1),
-        ],
-        axis=-2,
+    # forward patch->patch rotation = cv2.getRotationMatrix2D(center, -rot)
+    # (rotateHand, handdetector.py:730): with cv2's row layout
+    # [[cos t, sin t], [-sin t, cos t]] and t=-rot that is the POSITIVE
+    # angle in the reference's rotatePoints2D convention -- the same
+    # rotation applied to the labels below, so a blob and its label land
+    # on the same pixel.
+    a_rot = rotation_matrix_2d(
+        jnp.broadcast_to(center, (b, 2)), jnp.mod(rot, 360.0)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
     a_fwd = jnp.where(

@@ -47,7 +47,8 @@ def check_image(dpt, tol=1.0):
     return jnp.std(dpt, axis=(-2, -1)) >= tol
 
 
-def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend):
+def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend,
+                          empty_z=None):
     """CoM of the bbox crop with z-thresholding, without materializing it.
 
     The reference crops (with 0-padding outside the image), z-thresholds
@@ -76,15 +77,24 @@ def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend):
     ccx = jnp.clip((jnp.maximum(xstart, 0) + jnp.minimum(xend, w)) / 2.0, 0, w - 1)
     ccy = jnp.clip((jnp.maximum(ystart, 0) + jnp.minimum(yend, h)) / 2.0, 0, h - 1)
     center_d = dpt[ccy.astype(jnp.int32), ccx.astype(jnp.int32)]
+    if empty_z is not None:
+        # docom's extra constant: a degenerate center depth falls back to
+        # 300 mm (handdetector.py:415-418; host oracle detector_np.py:130-132).
+        # Plain refineCoMIterative (handdetector.py:562-563) does NOT apply
+        # it, hence the opt-in.
+        center_d = jnp.where(center_d == 0.0, jnp.float32(empty_z), center_d)
     fallback = jnp.stack([jnp.maximum(xstart, 0.0), jnp.maximum(ystart, 0.0), center_d])
     return jnp.where(num > 0, com, fallback)
 
 
-def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5):
+def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None):
     """Iterative CoM refinement: crop -> CoM -> recenter, `num_iter` times.
 
     Mirrors handdetector.py:546-567.  Batched over leading axes of
     dpt (B, H, W) / com (B, 3); cube (3,) or (B, 3); static num_iter.
+    empty_z: optional z fallback (mm) when the crop is empty AND the bbox
+    center has no depth — pass 300.0 on the docom import path
+    (handdetector.py:415-418); leave None elsewhere.
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
@@ -94,7 +104,7 @@ def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5):
     def one(d, c0, cb):
         def body(_, c):
             xs, xe, ys, ye, zs, ze = com_to_bounds(c, cb, fx, fy, img_hw)
-            return _masked_com_in_bounds(d, xs, xe, ys, ye, zs, ze)
+            return _masked_com_in_bounds(d, xs, xe, ys, ye, zs, ze, empty_z)
 
         return jax.lax.fori_loop(0, num_iter, body, c0)
 

@@ -62,13 +62,39 @@ class DistributedTrainer(Trainer):
             step=jnp.zeros((), jnp.int32),
         )
 
-    def place_data(self, data: TrainData) -> TrainData:
-        """Replicate the training tensors across the mesh.
+    def place_data(self, data: TrainData, shard: bool = False) -> TrainData:
+        """Place the training tensors on the mesh.
 
-        The per-step random gather draws arbitrary indices, so the source
-        arrays replicate (HBM is ample for these datasets); the gathered
-        *batch* shards over dp via the constraint hook.  For sets larger
-        than per-chip HBM, shard the N axis here and switch the trainer to
-        per-shard index streams.
+        shard=False (default): replicate — fastest gathers, per-chip HBM is
+        the dataset cap.  shard=True: split the N axis over 'dp', so
+        dataset capacity scales with the number of chips (SURVEY §2.8
+        "per-host data sharding").  The trainer's per-step gather uses
+        GLOBAL indices either way, so the sharded run computes exactly the
+        same batches (XLA inserts the cross-shard collective gather); the
+        loss trace is identical to the replicated run's.
+
+        When N is not divisible by dp the arrays are padded with wrap-around
+        repeats of the first samples — the reference pads short macro
+        batches with repeated samples the same way (alignData,
+        nettrainer.py:365-413).  Padded rows join the shuffle pool, slightly
+        oversampling those frames (same effect as the reference's
+        pad_random).
         """
-        return TrainData(*(jax.device_put(x, replicated(self.mesh)) for x in data))
+        import numpy as np
+
+        if not shard:
+            return TrainData(
+                *(jax.device_put(x, replicated(self.mesh)) for x in data)
+            )
+        dp = self.mesh.shape["dp"]
+        n = data.crops.shape[0]
+        pad = (-n) % dp
+
+        def place(x):
+            x = np.asarray(x)
+            if pad:
+                x = np.concatenate([x, x[:pad]], axis=0)
+            spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return TrainData(*(place(x) for x in data))

@@ -269,8 +269,15 @@ class Trainer:
     def _build_eval_fn(self):
         def eval_batch(state, crops, y, gt3d_mm, cube_z):
             out, _ = self._apply(state.params, state.batch_stats, crops, False, None)
-            cost = _loss_from_targets(out, y)
-            err_norm = _error_from_targets(out, y)
+            if y.ndim == 2:
+                cost_ps = jnp.sum(jnp.square(out - y), axis=1)
+                err_ps = jnp.sqrt(cost_ps)
+            else:
+                out3 = out.reshape(y.shape)
+                cost_ps = jnp.mean(jnp.sum(jnp.square(out3 - y), axis=2), axis=1)
+                err_ps = jnp.mean(
+                    jnp.sqrt(jnp.sum(jnp.square(out3 - y), axis=2)), axis=1
+                )
             if self.prior is not None:
                 decoded = (
                     jnp.matmul(out, self.prior.components,
@@ -278,15 +285,12 @@ class Trainer:
                     + self.prior.mean
                 )
                 d3 = decoded.reshape(gt3d_mm.shape)
-                dist_mm = jnp.sqrt(
-                    jnp.sum(jnp.square(d3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
-                )
             else:
-                out3 = out.reshape(gt3d_mm.shape)
-                dist_mm = jnp.sqrt(
-                    jnp.sum(jnp.square(out3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
-                )
-            return cost, err_norm, jnp.mean(dist_mm), jnp.max(dist_mm)
+                d3 = out.reshape(gt3d_mm.shape)
+            dist_mm = jnp.sqrt(
+                jnp.sum(jnp.square(d3 * (cube_z[:, None, None] / 2.0) - gt3d_mm), axis=2)
+            )
+            return cost_ps, err_ps, dist_mm
 
         return jax.jit(eval_batch)
 
@@ -294,8 +298,12 @@ class Trainer:
         """Validation observers: cost, normalized error, mm error avg/max
         (reference poseregnettrainer.py:122-126, run at nettrainer.py:859-889).
 
-        Pads the tail batch by repeating the last sample, like
-        NetBase.computeOutput (netbase.py:290-296)."""
+        Pads the tail batch by repeating the last sample for the compiled
+        call (static shapes, like NetBase.computeOutput netbase.py:290-296)
+        but TRIMS the padded duplicates before computing statistics, like
+        the reference does (netbase.py:290-307) — so the reported metrics
+        are exact means/max over the n real samples regardless of
+        n % batch_size."""
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         b = self.cfg.batch_size
@@ -303,26 +311,29 @@ class Trainer:
         crops_h = np.asarray(data.crops)
         gt3d_h = np.asarray(data.gt3d_crop)
         cube_h = np.asarray(data.cube)
-        costs, errs, mms, mmx = [], [], [], []
+        costs, errs, dists = [], [], []
         for s in range(0, n, b):
             idx = np.arange(s, min(s + b, n))
-            if len(idx) < b:
-                idx = np.concatenate([idx, np.full(b - len(idx), n - 1)])
+            real = len(idx)
+            if real < b:
+                idx = np.concatenate([idx, np.full(b - real, n - 1)])
             crops = jnp.asarray(crops_h[idx])
             gt3d = jnp.asarray(gt3d_h[idx])
             cube = jnp.asarray(cube_h[idx])
             labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
             y = self._targets(labels_norm)
-            c, e, mm, mx = self._eval_fn(state, crops, y, gt3d, cube[:, 2])
-            costs.append(float(c))
-            errs.append(float(e))
-            mms.append(float(mm))
-            mmx.append(float(mx))
+            c, e, d = self._eval_fn(state, crops, y, gt3d, cube[:, 2])
+            costs.append(np.asarray(c)[:real])
+            errs.append(np.asarray(e)[:real])
+            dists.append(np.asarray(d)[:real])
+        costs = np.concatenate(costs)
+        errs = np.concatenate(errs)
+        dists = np.concatenate(dists)
         return {
-            "cost": float(np.mean(costs)),
-            "error_norm": float(np.mean(errs)),
-            "error_mm_avg": float(np.mean(mms)),
-            "error_mm_max": float(np.max(mmx)),
+            "cost": float(costs.mean()),
+            "error_norm": float(errs.mean()),
+            "error_mm_avg": float(dists.mean()),
+            "error_mm_max": float(dists.max()),
         }
 
     # ------------------------------------------------------------------
@@ -445,7 +456,7 @@ class Trainer:
         if steps == 0:
             raise ValueError("training set smaller than one batch")
 
-        best = (np.inf, None, -1)  # (val error, host params, epoch)
+        best = (np.inf, None, None, -1)  # (val error, params, batch_stats, epoch)
         t0 = time.time()
         for epoch in range(start_epoch, n_epochs):
             if on_epoch_start is not None:
@@ -472,7 +483,16 @@ class Trainer:
                 self.history["val_error_mm"].append(obs["error_mm_avg"])
                 msg += f" val_mm {obs['error_mm_avg']:.3f}"
                 if cfg.use_early_stopping and obs["error_mm_avg"] < best[0]:
-                    best = (obs["error_mm_avg"], jax.device_get(state.params), epoch)
+                    # snapshot batch_stats alongside params: for BatchNorm
+                    # models the validated network is (params, running
+                    # stats) — restoring params alone would pair the best
+                    # kernels with the FINAL epoch's statistics
+                    best = (
+                        obs["error_mm_avg"],
+                        jax.device_get(state.params),
+                        jax.device_get(state.batch_stats),
+                        epoch,
+                    )
             log(msg)
             if on_epoch_end is not None:
                 on_epoch_end(epoch, state, costs)
@@ -480,8 +500,11 @@ class Trainer:
                 self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
 
         if cfg.use_early_stopping and best[1] is not None:
-            log(f"best params at epoch {best[2]} (val {best[0]:.3f}mm)")
-            state = state.replace(params=jax.tree.map(jnp.asarray, best[1]))
+            log(f"best params at epoch {best[3]} (val {best[0]:.3f}mm)")
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, best[1]),
+                batch_stats=jax.tree.map(jnp.asarray, best[2]),
+            )
         return state, self.history
 
     # ------------------------------------------------------------------
@@ -534,14 +557,21 @@ class Trainer:
         self,
         state: TrainState,
         arrays: Dict[str, np.ndarray],
+        val_data: Optional[TrainData] = None,
         n_epochs: Optional[int] = None,
         prefetch_depth: int = 2,
+        snapshot_path: Optional[str] = None,
         log: Callable[[str], None] = print,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Train from host-resident arrays via a double-buffered device
         prefetcher — for datasets that do not fit in HBM (the TPU-native
         equivalent of the reference's para_load loader process,
         nettrainer.py:701-723).
+
+        First-class like `fit`: per-epoch validation observers, best-weights
+        early stopping and snapshot cadence are all preserved (the
+        reference's para_load training still ran full validation,
+        nettrainer.py:859-889); `history` has the same structure as `fit`'s.
 
         arrays: co-indexed dict with keys crops, gt3d_crop, com, cube, m.
         """
@@ -554,10 +584,13 @@ class Trainer:
         key = jax.random.key(cfg.seed)
         n = arrays["crops"].shape[0]
         steps_per_epoch = n // cfg.batch_size
+        if steps_per_epoch == 0:
+            raise ValueError("training set smaller than one batch")
         it = DevicePrefetcher(
             chunked_epochs(arrays, cfg.batch_size, n_epochs, seed=cfg.seed),
             depth=prefetch_depth,
         )
+        best = (np.inf, None, None, -1)
         t0 = time.time()
         costs: list = []
         for i, batch in enumerate(it):
@@ -573,9 +606,29 @@ class Trainer:
                         f"non-finite streamed cost at epoch {epoch}; "
                         f"NaN params: {self.check_nans(state) or 'none'}"
                     )
-                log(
+                msg = (
                     f"epoch {epoch}: cost {vals.mean():.5f} "
                     f"({(time.time() - t0) / (epoch + 1):.2f}s/epoch)"
                 )
+                if val_data is not None and (epoch % cfg.eval_every) == 0:
+                    obs = self.evaluate(state, val_data)
+                    self.history["val_error_mm"].append(obs["error_mm_avg"])
+                    msg += f" val_mm {obs['error_mm_avg']:.3f}"
+                    if cfg.use_early_stopping and obs["error_mm_avg"] < best[0]:
+                        best = (
+                            obs["error_mm_avg"],
+                            jax.device_get(state.params),
+                            jax.device_get(state.batch_stats),
+                            epoch,
+                        )
+                log(msg)
+                if snapshot_path and (epoch % cfg.snapshot_every) == 0:
+                    self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
                 costs = []
+        if cfg.use_early_stopping and best[1] is not None:
+            log(f"best params at epoch {best[3]} (val {best[0]:.3f}mm)")
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, best[1]),
+                batch_stats=jax.tree.map(jnp.asarray, best[2]),
+            )
         return state, self.history

@@ -88,6 +88,52 @@ def test_rot_mode_preserves_radius(batch):
     assert not np.allclose(np.asarray(out), crops_norm, atol=1e-3)
 
 
+def test_rot_mode_blob_matches_label(monkeypatch):
+    """Image and label must rotate CONSISTENTLY (regression: round-1 bug
+    rotated the patch by -rot while labels rotated by +rot).
+
+    A bright blob painted at pixel p must land exactly where
+    rotate_points_2d(p, patch_center, rot) puts the label."""
+    import deepprior_tpu.ops.augment as aug_mod
+    from deepprior_tpu.geometry import rotate_points_2d
+
+    cam = NYU_CAMERA
+    b, h, w = 1, 128, 128
+    crop = jnp.ones((b, h, w), jnp.float32)  # background = far face (+1)
+    # near 3x3 blob at (x=96, y=64); 3x3 so nearest-neighbour resampling
+    # cannot drop it at non-axis-aligned angles
+    crop = crop.at[0, 63:66, 95:98].set(-0.5)
+    gt = jnp.zeros((b, 1, 3), jnp.float32)
+    com = jnp.array([[320.0, 240.0, 500.0]])
+    cube = jnp.array([[250.0, 250.0, 250.0]])
+    m = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+
+    for rot_deg in (90.0, 30.0, -45.0):
+        monkeypatch.setattr(
+            aug_mod,
+            "sample_augment_params",
+            lambda key, batch_, num_modes, *a, **kw: (
+                jnp.zeros((batch_,), jnp.int32),
+                jnp.zeros((batch_, 3)),
+                jnp.full((batch_,), rot_deg),
+                jnp.ones((batch_,)),
+            ),
+        )
+        out, *_ = aug_mod.augment_batch(
+            jax.random.key(0), crop, gt, com, cube, m, cam,
+            aug_modes=("rot",), use_pallas=False,
+        )
+        yx = np.unravel_index(np.argmin(np.asarray(out[0])), (h, w))
+        expect = np.asarray(
+            rotate_points_2d(
+                jnp.array([96.0, 64.0]), jnp.array([64.0, 64.0]), rot_deg
+            )
+        )
+        assert abs(yx[1] - expect[0]) <= 2.0 and abs(yx[0] - expect[1]) <= 2.0, (
+            f"rot={rot_deg}: blob at (x={yx[1]}, y={yx[0]}), label at {expect}"
+        )
+
+
 def test_sc_mode_scales_cube(batch):
     cam, crops_norm, gt3d, com, cube, m = batch
     out, labels, new_com, new_cube, new_m = augment_batch(

@@ -167,6 +167,108 @@ def test_checkpoint_shape_recovery(tmp_path):
     )
 
 
+def test_evaluate_trims_padding(toy_setup):
+    """With n % batch_size != 0, evaluate() must equal a straight
+    full-array computation — padded tail duplicates trimmed, batch means
+    weighted by real counts (reference netbase.py:290-307 trims padding).
+    Regression for the round-1 bias."""
+    cam, data, _ = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(batch_size=16, n_epochs=1, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    # 19 samples -> batches of 16 + 3: the padded path must not bias
+    sub = TrainData(*(np.asarray(a)[:19] for a in data))
+    obs = trainer.evaluate(state, sub)
+
+    # straight full-array computation (no batching, no padding)
+    out = trainer.predict(state, sub.crops, batch_size=16)  # (19, 42)
+    gt3d = np.asarray(sub.gt3d_crop)
+    cube_z = np.asarray(sub.cube)[:, 2]
+    y = gt3d / (cube_z[:, None, None] / 2.0)
+    out3 = out.reshape(y.shape)
+    cost = np.mean(np.sum((out3 - y) ** 2, axis=2).mean(axis=1))
+    err = np.mean(np.sqrt(np.sum((out3 - y) ** 2, axis=2)))
+    dist = np.sqrt(
+        np.sum((out3 * (cube_z[:, None, None] / 2.0) - gt3d) ** 2, axis=2)
+    )
+    assert obs["cost"] == pytest.approx(cost, rel=1e-5)
+    assert obs["error_norm"] == pytest.approx(err, rel=1e-5)
+    assert obs["error_mm_avg"] == pytest.approx(dist.mean(), rel=1e-5)
+    assert obs["error_mm_max"] == pytest.approx(dist.max(), rel=1e-5)
+
+
+def test_early_stopping_restores_batch_stats(toy_setup):
+    """Early stopping must restore the BEST epoch's batch_stats together
+    with its params: for BatchNorm models the validated network is the
+    (params, running stats) pair (round-1 advisor finding)."""
+    from deepprior_tpu.models import ResNet, ResNetConfig
+
+    cam, data, _ = toy_setup
+    model = ResNet(ResNetConfig(num_joints=14, n_dims=3, depth=11,
+                                stages=(4, 4, 4, 4, 4), hidden=32))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.001, n_epochs=4,
+                      aug_modes=None, eval_every=1)
+    trainer = Trainer(model, cfg, cam, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+
+    # force a known best epoch (1) via a scripted validation metric
+    scripted = iter([5.0, 1.0, 3.0, 4.0])
+    real_eval = trainer.evaluate
+    trainer.evaluate = lambda st, vd: {
+        "cost": 0.0, "error_norm": 0.0,
+        "error_mm_avg": next(scripted), "error_mm_max": 0.0,
+    }
+    captured = {}
+
+    def on_end(epoch, st, costs):
+        if epoch == 1:
+            captured["params"] = jax.device_get(st.params)
+            captured["batch_stats"] = jax.device_get(st.batch_stats)
+
+    state, _ = trainer.fit(
+        state, data, val_data=data, log=lambda m: None, on_epoch_end=on_end
+    )
+    trainer.evaluate = real_eval
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(captured["params"])[0],
+        jax.tree_util.tree_flatten_with_path(jax.device_get(state.params))[0],
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(captured["batch_stats"])[0],
+        jax.tree_util.tree_flatten_with_path(jax.device_get(state.batch_stats))[0],
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=str(pa))
+
+
+def test_fit_streamed_first_class(toy_setup, tmp_path):
+    """fit_streamed must carry the same observer surface as fit:
+    validation history, early stopping, snapshots (reference para_load
+    training still ran full validation, nettrainer.py:859-889)."""
+    cam, data, prior = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=3,
+                      aug_modes=None, eval_every=1, snapshot_every=1)
+    trainer = Trainer(model, cfg, cam, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+    snap = str(tmp_path / "streamed")
+    state, hist = trainer.fit_streamed(
+        state, arrays, val_data=data, snapshot_path=snap, log=lambda m: None
+    )
+    assert set(hist.keys()) == {"train_cost", "val_error_mm"}
+    assert len(hist["val_error_mm"]) == 3
+    assert np.isfinite(np.asarray(hist["train_cost"])).all()
+    assert os.path.exists(f"{snap}_last.ckpt")
+
+
 def test_nan_guard(toy_setup):
     cam, data, prior = toy_setup
     model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
