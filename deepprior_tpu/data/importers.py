@@ -217,8 +217,11 @@ class DepthImporter:
             dptc, _, _ = clamp_depth(dpt)
             keep = np.asarray(check_image(dptc, 1.0))
             if docom:
+                # empty_z=300: degenerate recomputed CoM falls back to
+                # 300 mm like cropArea3D's docom (handdetector.py:415-418)
                 com = refine_com_iterative(
-                    dptc, com, cube_arr, cam.fx, cam.fy, num_iter=1
+                    dptc, com, cube_arr, cam.fx, cam.fy, num_iter=1,
+                    empty_z=300.0,
                 )
                 if self.refine_net is not None:
                     # 'comref' mode: CNN refinement of the detected CoM

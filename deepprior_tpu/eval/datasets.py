@@ -47,6 +47,10 @@ class NYUHandposeEvaluation(HandposeEvaluation):
         [34, 29], [29, 28], [28, 27], [27, 26], [26, 25], [25, 24],
         [34, 32], [34, 33], [33, 32], [34, 30], [34, 31], [35, 30], [35, 31],
     ]
+    # class-level defaults (eval subset) so joint-count dispatch that never
+    # instantiates the class — the realtime show() path — sees a skeleton
+    joint_names = EVAL_JOINT_NAMES
+    joint_connections = EVAL_CONNECTIONS
 
     def __init__(self, gt, joints, joint_subset: str = "eval", dolegend=True):
         super().__init__(gt, joints, dolegend)

@@ -117,13 +117,12 @@ def detect_closest(dpt, cube, fx, fy, num_iter=5, min_depth=10.0, max_depth=1500
     """Device-side hand detection: seed at the closest valid pixel, then
     refine the CoM iteratively.
 
-    TPU-native counterpart to `HandDetector.detect` (handdetector.py:569-632),
-    which scans 20 depth slices with cv2 contours.  Connected-component
-    labeling is data-dependent and hostile to XLA; since the target is "the
-    closest sufficiently large object", seeding at the nearest valid depth
-    and running the same `refineCoMIterative(5)` converges to the same CoM
-    for the realtime use case.  The full contour-based detector (with hand-
-    size estimation) lives host-side in realtime/detector.py.
+    Cheap variant of `HandDetector.detect` (handdetector.py:569-632) with
+    NO minimum-area gate: a single-pixel noise speck nearer than the hand
+    wins the seed.  Use `detect` below for the reference's slice-scan +
+    min-area-blob semantics (it costs a connected-components pass); this
+    one survives for clean scenes where the closest object IS the hand.
+    The host-side twin lives in data/detector_np.py (HandCropper.detect).
 
     dpt: (B, H, W) clamped depth. Returns (B, 3) CoM.
     """
@@ -141,3 +140,167 @@ def detect_closest(dpt, cube, fx, fy, num_iter=5, min_depth=10.0, max_depth=1500
 
     com0 = jax.vmap(seed)(dpt) if dpt.ndim == 3 else seed(dpt)
     return refine_com_iterative(dpt, com0, cube, fx, fy, num_iter)
+
+
+def _shift(x, axis, offset, fill):
+    """Shift `x` by `offset` along `axis`, filling vacated slots."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(offset, 0), max(-offset, 0))
+    padded = jnp.pad(x, pad, constant_values=fill)
+    sl = [slice(None)] * x.ndim
+    n = x.shape[axis]
+    sl[axis] = slice(0, n) if offset > 0 else slice(-n, None)
+    return padded[tuple(sl)]
+
+
+def _seg_min_scan(lab, mask, axis, region=None):
+    """Min of `lab` within each maximal run of connected pixels along
+    `axis`; runs break at unmasked pixels and (if `region` is given) where
+    the region id changes.
+
+    Closed form, no gathers and no associative_scan (both lower badly —
+    gathers to scalar loads, assoc-scan to O(n log n) with poor constants):
+    a segmented prefix-min is cummin(lab - K*cumsum(reset)) + K*cumsum(reset)
+    with K > max(lab), because keys from earlier segments are offset upward
+    by at least K and can never win the min.  Forward + backward passes
+    give the full run min.
+    """
+    axis = axis % lab.ndim
+    k = jnp.int32(lab.shape[-1] * lab.shape[-2] + 1)
+
+    def directional(offset):
+        r = ~mask
+        if region is not None:
+            r = r | (region != _shift(region, axis, offset, -1))
+        cnt = jax.lax.cumsum(r.astype(jnp.int32), axis=axis,
+                             reverse=(offset < 0))
+        key = lab - k * cnt
+        cm = jax.lax.cummin(key, axis=axis, reverse=(offset < 0))
+        return cm + k * cnt
+
+    return jnp.minimum(directional(1), directional(-1))
+
+
+def label_components(mask, region=None):
+    """Connected-component labels via alternating row/column segmented
+    min-scans; jittable, static shapes, no gathers.
+
+    mask: (H, W) bool.  region: optional (H, W) int — pixels connect only
+    within equal region ids (used to label every depth slice of `detect`
+    in ONE pass).  Returns (H, W) int32: each foreground pixel holds the
+    smallest linear index of its 4-connected component; background holds
+    H*W.  Each iteration floods labels across entire horizontal runs then
+    entire vertical runs, so convergence takes O(#turns of the blob
+    contour) iterations (a handful for hand-like blobs), checked by a
+    while_loop fixpoint.
+    """
+    h, w = mask.shape
+    big = jnp.int32(h * w)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    init = jnp.where(mask, iota, big)
+
+    def body(state):
+        lab, _ = state
+        lab2 = jnp.where(mask, _seg_min_scan(lab, mask, -1, region), big)
+        lab3 = jnp.where(mask, _seg_min_scan(lab2, mask, -2, region), big)
+        return lab3, lab
+
+    def cond(state):
+        lab, prev = state
+        return jnp.any(lab != prev)
+
+    lab, _ = jax.lax.while_loop(cond, body, (init, jnp.full_like(init, -1)))
+    return lab
+
+
+def _first_big_blob_com(valid, q, dpt, num_slices, min_area):
+    """(found, com) of the largest blob in the first depth slice whose
+    largest 4-connected blob exceeds `min_area` pixels.
+
+    valid: (H, W) bool, q: (H, W) int32 slice index per pixel, dpt: (H, W)
+    clamped depth.  Components are labeled in ONE pass with q as the
+    connectivity region, then per-component area/slice come from one
+    scatter-histogram over labels.  com is (mean col, mean row, mean
+    depth-over-blob), matching the reference's centroid of the winning
+    contour (handdetector.py:592-607; host twin detector_np.py
+    HandCropper.detect).
+    """
+    h, w = valid.shape
+    hw = h * w
+    lab = label_components(valid, q)
+    flat = lab.reshape(-1)
+    ones = valid.reshape(-1).astype(jnp.float32)
+    counts = jnp.zeros(hw + 1, jnp.float32).at[flat].add(ones)
+    counts = counts.at[hw].set(0.0)
+    # slice id per component (uniform within one by construction)
+    slice_of = (
+        jnp.zeros(hw + 1, jnp.int32).at[flat].max((q.reshape(-1) + 1))
+    )  # 0 = background, else slice+1
+    qualifies = counts > float(min_area)
+    first_slice = jnp.min(
+        jnp.where(qualifies, slice_of, num_slices + 2)
+    )
+    found = first_slice <= num_slices + 1
+    target = qualifies & (slice_of == first_slice)
+    best = jnp.argmax(jnp.where(target, counts, -1.0))
+    blob = (lab == best) & valid
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    n = jnp.maximum(counts[best], 1.0)
+    com = jnp.stack(
+        [
+            jnp.sum(jnp.where(blob, cols, 0.0)) / n,
+            jnp.sum(jnp.where(blob, rows, 0.0)) / n,
+            jnp.sum(jnp.where(blob, dpt, 0.0)) / n,
+        ]
+    )
+    return found, com
+
+
+def detect(dpt, cube, fx, fy, num_slices=20, min_area=200, num_iter=5):
+    """Full device-side detection with the reference's semantics: scan
+    `num_slices` near-to-far depth slices, take the largest connected blob
+    of the FIRST slice whose largest blob exceeds `min_area` pixels, then
+    refine the CoM iteratively (handdetector.py:569-632; host twin
+    data/detector_np.py HandCropper.detect, which this matches on synthetic
+    multi-object scenes — tests/test_com.py).
+
+    All slices are labeled in ONE batched pass (the slice index acts as a
+    connectivity region; the reference's early exit becomes a select over
+    per-component stats) so the whole detector is one XLA program — no
+    10-30 ms host scipy pass in the realtime loop.  Sole deviation: a pixel
+    exactly on an interior slice boundary belongs to one slice here but to
+    both overlapping slices in the reference's [lo, hi] scans — an exact-
+    float-equality event with no practical effect.
+
+    dpt: (B, H, W) RAW depth (per-image clamping is applied here, like the
+    HandCropper constructor).  Returns (B, 3) CoM, zeros where nothing
+    exceeds the area gate.
+    """
+    dpt = jnp.asarray(dpt, jnp.float32)
+    squeeze = dpt.ndim == 2
+    if squeeze:
+        dpt = dpt[None]
+    b, h, w = dpt.shape
+    dmax = jnp.minimum(1500.0, dpt.max(axis=(-2, -1)))
+    dmin = jnp.maximum(10.0, dpt.min(axis=(-2, -1)))
+    dc = jnp.where(
+        (dpt > dmax[:, None, None]) | (dpt < dmin[:, None, None]), 0.0, dpt
+    )
+    dz = jnp.maximum((dmax - dmin) / float(num_slices), 1e-6)  # (B,)
+    valid = dc > 0.0
+    q = jnp.clip(
+        jnp.floor((dc - dmin[:, None, None]) / dz[:, None, None]),
+        0,
+        num_slices - 1,
+    ).astype(jnp.int32)
+
+    found, com0 = jax.vmap(
+        lambda v, qq, d: _first_big_blob_com(v, qq, d, num_slices, min_area)
+    )(valid, q, dc)
+    com = refine_com_iterative(dc, com0, cube, fx, fy, num_iter)
+    com = jnp.where(found[:, None], com, 0.0)
+    return com[0] if squeeze else com

@@ -41,12 +41,17 @@ class RealtimeHandposePipeline:
         camera: Optional[Camera] = None,
         verbose: bool = False,
         com_refiner=None,
+        use_device_detect: bool = True,
     ):
         """config mirrors the reference dict: {'fx','fy','cube'
-        [,'invX','invY']} (test_realtimepipeline.py:65-67).
+        [,'invX','invY','upsample','crop_joint_idx']}
+        (test_realtimepipeline.py:65-67).
 
         com_refiner: optional ops.refine_cnn.CNNComRefiner — the CNN CoM
         refinement of the reference's track() path (handdetector.py:518-521).
+        use_device_detect: run detection/tracking as jitted device programs
+        (ops.com.detect slice-scan + refine_com_iterative) instead of the
+        host numpy oracle — same semantics, no 10-30 ms host scipy pass.
         """
         self.estimator = estimator
         self.variables = variables
@@ -54,6 +59,8 @@ class RealtimeHandposePipeline:
         self.camera = camera or estimator.camera
         self.verbose = verbose
         self.com_refiner = com_refiner
+        self.use_device_detect = use_device_detect
+        self._dev_fns = None
 
         # state machine (realtimehandposepipeline.py:54-109)
         self.state = STATE_IDLE
@@ -75,27 +82,80 @@ class RealtimeHandposePipeline:
         self._fps_hist: list = []
 
     # ------------------------------------------------------------------
+    def _device_detect_fns(self):
+        """Lazily compile the device detection programs: full slice-scan
+        detect, tracking refine, and (optional) CNN CoM refinement."""
+        if self._dev_fns is None:
+            import jax
+            import jax.numpy as jnp
+
+            from deepprior_tpu.ops.com import detect as dev_detect
+            from deepprior_tpu.ops.com import refine_com_iterative
+            from deepprior_tpu.ops.crop import clamp_depth
+
+            cam = self.camera
+
+            @jax.jit
+            def full(frame, cube):
+                return dev_detect(frame[None], cube, cam.fx, cam.fy)[0]
+
+            @jax.jit
+            def track(frame, com, cube):
+                d, _, _ = clamp_depth(frame[None])
+                return refine_com_iterative(
+                    d, com[None], cube, cam.fx, cam.fy, num_iter=3
+                )[0]
+
+            refiner = self.com_refiner
+            if refiner is not None:
+
+                @jax.jit
+                def refine(frame, com, cube):
+                    d, _, _ = clamp_depth(frame[None])
+                    return refiner(d, com[None], cube)[0]
+
+            else:
+                refine = None
+            self._dev_fns = (full, track, refine)
+        return self._dev_fns
+
     def detect(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Host-side detection/tracking -> (com, crop transform M).
+        """Detection/tracking -> (com, cube).
 
         Mirrors realtimehandposepipeline.py:296-337: track around the last
         CoM when tracking is on, otherwise full detection; INIT state
-        calibrates the cube from median hand size over 50 frames.
+        calibrates the cube from median hand size over 50 frames.  Runs as
+        jitted device programs by default (use_device_detect); the host
+        numpy oracle path is kept for environments without a device.
         """
         t0 = time.perf_counter()
-        hc = HandCropper(frame, self.camera)
         cube = tuple(self.config["cube"])
-        if self.tracking and not np.allclose(self.lastcom, 0.0):
-            com = hc.refine_com_iterative(self.lastcom, 3, cube)
+        if self.use_device_detect:
+            import jax.numpy as jnp
+
+            full, track, refine = self._device_detect_fns()
+            fr = jnp.asarray(frame, jnp.float32)
+            cb = jnp.asarray(cube, jnp.float32)
+            if self.tracking and not np.allclose(self.lastcom, 0.0):
+                com = np.asarray(track(fr, jnp.asarray(self.lastcom, jnp.float32), cb))
+            else:
+                com = np.asarray(full(fr, cb))
+            if refine is not None and not np.allclose(com, 0.0):
+                com = np.asarray(refine(fr, jnp.asarray(com, jnp.float32), cb))
         else:
-            com = hc.detect(cube)
-        if self.com_refiner is not None and not np.allclose(com, 0.0):
-            com = np.asarray(
-                self.com_refiner(hc.dpt[None], com[None].astype(np.float32), cube)
-            )[0]
+            hc = HandCropper(frame, self.camera)
+            if self.tracking and not np.allclose(self.lastcom, 0.0):
+                com = hc.refine_com_iterative(self.lastcom, 3, cube)
+            else:
+                com = hc.detect(cube)
+            if self.com_refiner is not None and not np.allclose(com, 0.0):
+                com = np.asarray(
+                    self.com_refiner(hc.dpt[None], com[None].astype(np.float32), cube)
+                )[0]
         self.lastcom = com
 
         if self.state == STATE_INIT and not np.allclose(com, 0.0):
+            hc = HandCropper(frame, self.camera)
             self.hand_sizes.append(hc.estimate_hand_size(com, cube))
             if len(self.hand_sizes) >= self.num_init_frames:
                 med = tuple(np.median(np.asarray(self.hand_sizes), axis=0))
@@ -258,6 +318,23 @@ class RealtimeHandposePipeline:
         self.hand_sizes = []
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _draw_skeleton(img, uvd, connections, line_color=(0, 255, 0),
+                       joint_color=(255, 0, 0)):
+        h, w = img.shape[:2]
+        for a, b in connections or []:
+            pa, pb = uvd[a], uvd[b]
+            n = int(max(abs(pb[0] - pa[0]), abs(pb[1] - pa[1])) + 1)
+            us = np.linspace(pa[0], pb[0], n).astype(int)
+            vs = np.linspace(pa[1], pb[1], n).astype(int)
+            ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+            img[vs[ok], us[ok]] = line_color
+        for u, v in uvd[:, :2]:
+            ui, vi = int(u), int(v)
+            if 0 <= ui < w and 0 <= vi < h:
+                img[max(0, vi - 1) : vi + 2, max(0, ui - 1) : ui + 2] = joint_color
+        return img
+
     def show(self, result: Dict[str, Any]) -> np.ndarray:
         """Render the skeleton overlay into an RGB array (the reference
         draws with cv2.imshow, realtimehandposepipeline.py:372-446; we
@@ -271,16 +348,60 @@ class RealtimeHandposePipeline:
         )
         norm = np.clip((frame - lo) / max(hi - lo, 1e-6), 0, 1)
         img = np.stack([norm * 255] * 3, axis=-1).astype(np.uint8)
-        h, w = frame.shape
-        for a, b in ev_cls.joint_connections if ev_cls.joint_connections else []:
-            pa, pb = uvd[a], uvd[b]
-            n = int(max(abs(pb[0] - pa[0]), abs(pb[1] - pa[1])) + 1)
-            us = np.linspace(pa[0], pb[0], n).astype(int)
-            vs = np.linspace(pa[1], pb[1], n).astype(int)
-            ok = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
-            img[vs[ok], us[ok]] = [0, 255, 0]
-        for u, v, _ in uvd:
-            ui, vi = int(u), int(v)
+        self._draw_skeleton(img, uvd, ev_cls.joint_connections)
+        # CoM marker (reference draws a green circle, :419-424)
+        com = result.get("com")
+        if com is not None:
+            ui, vi = int(com[0]), int(com[1])
+            h, w = frame.shape
             if 0 <= ui < w and 0 <= vi < h:
-                img[max(0, vi - 1) : vi + 2, max(0, ui - 1) : ui + 2] = [255, 0, 0]
+                img[max(0, vi - 2) : vi + 3, max(0, ui - 2) : ui + 3, 1] = 255
         return img
+
+    def show_side(self, result: Dict[str, Any]) -> np.ndarray:
+        """90-degree side view: the pose rotated by Euler (0, 90, 0) about
+        a reference joint and re-projected into a blank canvas — the
+        reference's `poseimg` (realtimehandposepipeline.py:426-446).
+
+        The rotation center is config['crop_joint_idx'] when set (the
+        reference uses importer.crop_joint_idx), else the pose CoM.
+        """
+        from deepprior_tpu.geometry import rotate_points_3d
+
+        frame = result["frame"]
+        joints3d = np.asarray(result["joints3d"], np.float32)
+        cj = self.config.get("crop_joint_idx")
+        center = joints3d[int(cj)] if cj is not None else joints3d.mean(axis=0)
+        rotated = np.asarray(
+            rotate_points_3d(joints3d, center[None], 0.0, 90.0, 0.0)
+        )
+        uvd = self.camera.three_d_to_img_np(rotated)
+        ev_cls = evaluation_for(joints3d.shape[0])
+        img = np.zeros((frame.shape[0], frame.shape[1], 3), np.uint8)
+        self._draw_skeleton(img, uvd, ev_cls.joint_connections)
+        return img
+
+    def add_status_bar(self, img: np.ndarray) -> np.ndarray:
+        """Prepend the reference's 20-px status bar (addStatusBar,
+        realtimehandposepipeline.py:449-492): running FPS, hand side,
+        hand-cube size, tracking/detection flag, detector mode, and a
+        state light (IDLE red / INIT yellow / RUN green)."""
+        from deepprior_tpu.utils.text import draw_text
+
+        barsz = 20
+        out = np.full((img.shape[0] + barsz, img.shape[1], 3), 255, np.uint8)
+        out[barsz:] = img
+        draw_text(out, f"FPS {self.fps():2.1f}", 20, 6)
+        draw_text(out, "LEFT" if self.hand == HAND_LEFT else "RIGHT", 80, 6)
+        draw_text(out, f"HC-{int(self.config['cube'][0])}", 130, 6)
+        draw_text(out, "T" if self.tracking else "D", 200, 6)
+        draw_text(out, "COM", 220, 6)
+        col = {
+            STATE_IDLE: (255, 0, 0),
+            STATE_INIT: (255, 255, 0),
+            STATE_RUN: (0, 255, 0),
+        }.get(self.state, (255, 0, 0))
+        yy, xx = np.mgrid[0:barsz, 0:14]
+        disc = (yy - 9) ** 2 + (xx - 7) ** 2 <= 25
+        out[0:barsz, 0:14][disc] = col
+        return out

@@ -27,6 +27,9 @@ if __name__ == "__main__":
                    choices=["poseregnet", "resnet"],
                    help="resnet mirrors the reference realtime demo "
                         "(test_realtimepipeline.py: ResNet type 1)")
+    p.add_argument("--save-view", default=None,
+                   help="save the final annotated frame (front view + "
+                        "status bar | rotated side view) as a PNG")
     p.add_argument("--comref", action="store_true",
                    help="enable ScaleNet CNN CoM refinement in the detect "
                         "path (the reference's comrefNet)")
@@ -103,5 +106,27 @@ if __name__ == "__main__":
         print(f"processed {len(results)} frames, fps={results[-1]['fps']:.1f} "
               f"(detect {pipe.times['detect'] * 1000:.1f}ms, "
               f"pose {pipe.times['pose'] * 1000:.1f}ms)")
+        last = results[-1]
+        if "frame" not in last:  # threaded results carry no frame; refetch
+            ok, f = device.getDepth() if hasattr(device, "getDepth") else (False, None)
+            if ok:
+                last = dict(last, frame=f)
+        if "frame" in last and args.save_view:
+            # the reference shows front view + status bar and the rotated
+            # side view (realtimehandposepipeline.py:372-492)
+            front = pipe.add_status_bar(pipe.show(last))
+            side = pipe.show_side(last)
+            canvas = np.zeros(
+                (max(front.shape[0], side.shape[0]),
+                 front.shape[1] + side.shape[1], 3), np.uint8)
+            canvas[: front.shape[0], : front.shape[1]] = front
+            canvas[: side.shape[0], front.shape[1]:] = side
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imsave(args.save_view, canvas)
+            print(f"saved view to {args.save_view}")
     else:
         print("no frames processed")

@@ -97,6 +97,92 @@ def test_detect_closest_finds_hand(scene):
         assert abs(coms[i, 2] - attractor[i, 2]) < 10.0
 
 
+def test_label_components():
+    from deepprior_tpu.ops.com import label_components
+
+    mask = np.zeros((16, 24), bool)
+    mask[2:5, 3:7] = True  # blob A (12 px)
+    mask[10:14, 10:18] = True  # blob B (32 px)
+    mask[0, 20] = True  # single pixel
+    lab = np.asarray(jax.jit(label_components)(mask))
+    assert (lab[~mask] == 16 * 24).all()
+    ids = np.unique(lab[mask])
+    assert len(ids) == 3
+    # every blob uniformly labeled with its min linear index
+    assert (lab[2:5, 3:7] == 2 * 24 + 3).all()
+    assert (lab[10:14, 10:18] == 10 * 24 + 10).all()
+    assert lab[0, 20] == 20
+
+
+def test_device_detect_matches_oracle_multiobject(scene):
+    """Full device detector == host oracle on multi-object scenes: the
+    min-area gate must reject near noise specks that fool detect_closest
+    (handdetector.py:569-632 semantics)."""
+    from deepprior_tpu.ops.com import detect as dev_detect
+
+    cam, frames = scene
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    rng = np.random.default_rng(3)
+    for f in frames[:2]:
+        dpt = f.extraData["dpt_full"].copy()
+        hand_min = dpt[dpt > 0].min()
+        # single-pixel + 5x5 specks NEARER than the hand (both < 200 px)
+        dpt[20, 30] = hand_min - 120.0
+        dpt[200:205, 40:45] = hand_min - 80.0
+        hc = HandCropper(dpt, cam)
+        ref = hc.detect(size=tuple(cube))
+        ours = np.asarray(
+            jax.jit(lambda d: dev_detect(d, cube, cam.fx, cam.fy))(dpt)
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=0.5)
+        # and the speck would indeed have fooled the closest-pixel variant
+        dpt_c, _, _ = clamp_depth(dpt)
+        close = np.asarray(detect_closest(dpt_c[None], cube, cam.fx, cam.fy))[0]
+        assert np.linalg.norm(close[:2] - ref[:2]) > 5.0
+
+
+def test_device_detect_empty_scene():
+    from deepprior_tpu.ops.com import detect as dev_detect
+
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    out = np.asarray(
+        dev_detect(np.zeros((1, 64, 64), np.float32), cube, 500.0, 500.0)
+    )
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_device_detect_batched(scene):
+    from deepprior_tpu.ops.com import detect as dev_detect
+
+    cam, frames = scene
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
+    coms = np.asarray(jax.jit(lambda d: dev_detect(d, cube, cam.fx, cam.fy))(dpt))
+    for i, f in enumerate(frames):
+        hc = HandCropper(f.extraData["dpt_full"], cam)
+        ref = hc.detect(size=tuple(cube))
+        np.testing.assert_allclose(coms[i], ref, rtol=1e-3, atol=0.5)
+
+
+def test_docom_empty_fallback_300mm():
+    """Device refine with empty_z=300: an empty crop whose bbox center has
+    no depth falls back to z=300mm (handdetector.py:415-418; host oracle
+    detector_np.py:130-132)."""
+    dpt = np.zeros((64, 64), np.float32)
+    com = np.array([32.0, 32.0, 500.0], np.float32)
+    cube = (100.0, 100.0, 100.0)
+    out = np.asarray(
+        refine_com_iterative(dpt, com, cube, 500.0, 500.0, num_iter=1,
+                             empty_z=300.0)
+    )
+    assert out[2] == 300.0
+    # without the flag: plain refineCoMIterative keeps the raw center depth
+    out2 = np.asarray(
+        refine_com_iterative(dpt, com, cube, 500.0, 500.0, num_iter=1)
+    )
+    assert out2[2] == 0.0
+
+
 def test_host_detect_matches(scene):
     cam, frames = scene
     f = frames[0]

@@ -156,6 +156,56 @@ def test_show_overlay(estimator_setup):
     assert (img[..., 1] == 255).any()  # skeleton drawn
 
 
+def test_device_detect_matches_host_path(estimator_setup):
+    """The default jitted device detection must agree with the host numpy
+    oracle path on the same frames (same slice-scan + min-area semantics)."""
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(12)
+    f = make_frame(cam, rng)
+    cfg = {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    pipe_dev = RealtimeHandposePipeline(est, variables, cfg, use_device_detect=True)
+    pipe_host = RealtimeHandposePipeline(est, variables, cfg, use_device_detect=False)
+    com_d, _ = pipe_dev.detect(f.extraData["dpt_full"])
+    com_h, _ = pipe_host.detect(f.extraData["dpt_full"])
+    np.testing.assert_allclose(com_d, com_h, rtol=1e-3, atol=0.5)
+    # tracking path too
+    pipe_dev.tracking = pipe_host.tracking = True
+    com_d2, _ = pipe_dev.detect(f.extraData["dpt_full"])
+    com_h2, _ = pipe_host.detect(f.extraData["dpt_full"])
+    np.testing.assert_allclose(com_d2, com_h2, rtol=1e-3, atol=0.5)
+
+
+def test_status_bar_and_side_view(estimator_setup):
+    """Display parity: 20-px status bar with FPS/hand/cube/mode text and
+    state light; 90-degree rotated side view
+    (realtimehandposepipeline.py:372-492)."""
+    cam, est, variables = estimator_setup
+    rng = np.random.default_rng(13)
+    f = make_frame(cam, rng)
+    pipe = RealtimeHandposePipeline(
+        est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
+    )
+    out = pipe.process_frame(f.extraData["dpt_full"])
+    img = pipe.show(out)
+    with_bar = pipe.add_status_bar(img)
+    assert with_bar.shape == (500, 640, 3)
+    np.testing.assert_array_equal(with_bar[20:], img)
+    bar = with_bar[:20]
+    # state light: IDLE -> red disc in the top-left corner
+    assert (bar[:, :14] == [255, 0, 0]).all(axis=-1).any()
+    # text stamped (black pixels present in the bar)
+    assert (bar == 0).all(axis=-1).any()
+    pipe.state = STATE_RUN
+    bar_run = pipe.add_status_bar(img)[:20]
+    assert (bar_run[:, :14] == [0, 255, 0]).all(axis=-1).any()
+
+    side = pipe.show_side(out)
+    assert side.shape == (480, 640, 3)
+    assert (side > 0).any()  # skeleton drawn into the blank canvas
+    # side view differs from the front overlay (rotated 90 degrees)
+    assert not np.array_equal(side, pipe.show(out))
+
+
 # ----------------------------------------------------------------------
 @pytest.mark.skipif(not os.path.exists(CPP_LIB), reason="capture shim not built")
 class TestCaptureShim:
