@@ -35,11 +35,26 @@ struct FrameBuffer {
   std::vector<float> data;
 };
 
+struct ColourBuffer {
+  std::vector<uint8_t> data;
+};
+
 struct CaptureState {
   int width = 320;
   int height = 240;
   float fx = 224.5f, fy = 230.5f, ux = 160.0f, uy = 120.0f;
   double fps = 30.0;
+
+  // colour camera (reference depthsense.cxx keeps a 640x480x3 RGB stream
+  // alongside the 320x240 depth stream)
+  int cwidth = 640;
+  int cheight = 480;
+  float cfx = 449.0f, cfy = 461.0f, cux = 320.0f, cuy = 240.0f;
+  // stereo extrinsics, row-major 3x4 [R|t]: colour_cam_point = R*X + t,
+  // X in depth-camera mm.  A pure 25 mm horizontal baseline.
+  float extrinsics[12] = {1, 0, 0, -25.0f,
+                          0, 1, 0, 0,
+                          0, 0, 1, 0};
 
   // double buffer + atomic swap: writer fills the back buffer, then
   // publishes it by swapping the front pointer (same scheme as the
@@ -48,7 +63,12 @@ struct CaptureState {
   std::atomic<FrameBuffer*> front{nullptr};
   FrameBuffer* back = nullptr;
 
+  ColourBuffer cbuffers[2];
+  std::atomic<ColourBuffer*> cfront{nullptr};
+  ColourBuffer* cback = nullptr;
+
   std::atomic<long long> frame_counter{0};
+  std::atomic<long long> cframe_counter{0};
   std::atomic<bool> running{false};
   std::thread worker;
 
@@ -86,6 +106,81 @@ void render_synthetic(CaptureState& s, float* out, long long t) {
   }
 }
 
+// Colour frames are forward-splatted from the depth frame through the
+// stereo extrinsics, so every backend (synthetic or file replay) gets an
+// RGB stream geometrically consistent with its depth stream — the UV remap
+// in ds_get_sync then recovers the splatted colours, which is the property
+// the reference's buildSyncMap (depthsense.cxx:53-85) relies on.
+void render_colour_from_depth(CaptureState& s, const float* depth,
+                              uint8_t* out) {
+  // background: vertical gradient
+  for (int v = 0; v < s.cheight; ++v) {
+    const uint8_t g = static_cast<uint8_t>(40 + v / 4);
+    for (int u = 0; u < s.cwidth; ++u) {
+      uint8_t* px = out + (v * s.cwidth + u) * 3;
+      px[0] = g;
+      px[1] = 60;
+      px[2] = 90;
+    }
+  }
+  const float* E = s.extrinsics;
+  for (int v = 0; v < s.height; ++v) {
+    for (int u = 0; u < s.width; ++u) {
+      const float d = depth[v * s.width + u];
+      if (d <= 0.0f) continue;
+      const float X = (static_cast<float>(u) - s.ux) * d / s.fx;
+      const float Y = (static_cast<float>(v) - s.uy) * d / s.fy;
+      const float px = E[0] * X + E[1] * Y + E[2] * d + E[3];
+      const float py = E[4] * X + E[5] * Y + E[6] * d + E[7];
+      const float pz = E[8] * X + E[9] * Y + E[10] * d + E[11];
+      if (pz <= 0.0f) continue;
+      const int cu = static_cast<int>(s.cfx * px / pz + s.cux);
+      const int cv = static_cast<int>(s.cfy * py / pz + s.cuy);
+      // splat a 3x3 block: colour res is 2x depth res, so 1-px splats
+      // leave holes the sync-map nearest lookup would land in
+      for (int dv = -1; dv <= 1; ++dv) {
+        for (int du = -1; du <= 1; ++du) {
+          const int uu = cu + du, vv = cv + dv;
+          if (uu < 0 || uu >= s.cwidth || vv < 0 || vv >= s.cheight) continue;
+          uint8_t* o = out + (vv * s.cwidth + uu) * 3;
+          o[0] = 210;  // skin tone
+          o[1] = 160;
+          o[2] = 120;
+        }
+      }
+    }
+  }
+}
+
+// per-pixel depth->colour UV map, the reference's uvFullMap: normalized
+// colour-image coordinates for each depth pixel, negative when invalid
+void compute_uv(const CaptureState& s, const float* depth, float* uv) {
+  const float* E = s.extrinsics;
+  for (int v = 0; v < s.height; ++v) {
+    for (int u = 0; u < s.width; ++u) {
+      float* o = uv + (v * s.width + u) * 2;
+      const float d = depth[v * s.width + u];
+      if (d <= 0.0f) {
+        o[0] = -1.0f;
+        o[1] = -1.0f;
+        continue;
+      }
+      const float X = (static_cast<float>(u) - s.ux) * d / s.fx;
+      const float Y = (static_cast<float>(v) - s.uy) * d / s.fy;
+      const float px = E[0] * X + E[1] * Y + E[2] * d + E[3];
+      const float py = E[4] * X + E[5] * Y + E[6] * d + E[7];
+      const float pz = E[8] * X + E[9] * Y + E[10] * d + E[11];
+      if (pz <= 0.0f) {
+        o[0] = -1.0f;
+        o[1] = -1.0f;
+        continue;
+      }
+      o[0] = (s.cfx * px / pz + s.cux) / static_cast<float>(s.cwidth);
+      o[1] = (s.cfy * py / pz + s.cuy) / static_cast<float>(s.cheight);
+    }
+  }
+}
+
 bool load_file_frames(CaptureState& s, const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -119,12 +214,18 @@ void capture_loop(CaptureState* s) {
     } else {
       render_synthetic(*s, dst, t);
     }
+    // colour stream: splat the fresh depth frame through the extrinsics
+    render_colour_from_depth(*s, dst, s->cback->data.data());
+
     // publish: swap front/back (readers snapshot the front pointer and
     // memcpy out under no lock; the writer never touches a published
     // buffer until the next swap, and readers copy immediately)
     FrameBuffer* published = s->back;
     s->back = s->front.exchange(published, std::memory_order_acq_rel);
     s->frame_counter.fetch_add(1, std::memory_order_release);
+    ColourBuffer* cpublished = s->cback;
+    s->cback = s->cfront.exchange(cpublished, std::memory_order_acq_rel);
+    s->cframe_counter.fetch_add(1, std::memory_order_release);
 
     next += std::chrono::duration_cast<clock::duration>(period);
     std::this_thread::sleep_until(next);
@@ -153,6 +254,12 @@ int ds_start(const char* mode, const char* source, double fps) {
   g_state->buffers[1].data.assign(px, 0.0f);
   g_state->front.store(&g_state->buffers[0]);
   g_state->back = &g_state->buffers[1];
+  const size_t cpx =
+      static_cast<size_t>(g_state->cwidth) * g_state->cheight * 3;
+  g_state->cbuffers[0].data.assign(cpx, 0);
+  g_state->cbuffers[1].data.assign(cpx, 0);
+  g_state->cfront.store(&g_state->cbuffers[0]);
+  g_state->cback = &g_state->cbuffers[1];
   g_state->running.store(true, std::memory_order_release);
   g_state->worker = std::thread(capture_loop, g_state);
   return 0;
@@ -192,6 +299,127 @@ void ds_get_intrinsics(float* out4) {
 void ds_get_accel(float* out3) {
   if (!g_state) return;
   std::memcpy(out3, g_state->accel, 3 * sizeof(float));
+}
+
+// ---- colour / vertex / UV / sync surface (reference depthsense.cxx
+// getColourMap/getVertices/getVerticesFP/getUVMap/getSyncMap, :203-223) ----
+
+int ds_colour_width(void) { return g_state ? g_state->cwidth : 0; }
+int ds_colour_height(void) { return g_state ? g_state->cheight : 0; }
+
+long long ds_colour_frame_counter(void) {
+  return g_state ? g_state->cframe_counter.load(std::memory_order_acquire) : 0;
+}
+
+int ds_get_colour(uint8_t* out, int capacity) {
+  if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
+  const int n = g_state->cwidth * g_state->cheight * 3;
+  if (capacity < n) return 0;
+  if (g_state->cframe_counter.load(std::memory_order_acquire) == 0) return 0;
+  ColourBuffer* fb = g_state->cfront.load(std::memory_order_acquire);
+  std::memcpy(out, fb->data.data(), static_cast<size_t>(n));
+  return 1;
+}
+
+// (dH, dW, 3) vertex map in depth-camera mm; int16 variant saturates like
+// the reference's vertexFullMap, fp variant is exact. Invalid depth -> 0.
+int ds_get_vertices_fp(float* out, int capacity) {
+  if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
+  CaptureState& s = *g_state;
+  const int n = s.width * s.height * 3;
+  if (capacity < n) return 0;
+  if (s.frame_counter.load(std::memory_order_acquire) == 0) return 0;
+  FrameBuffer* fb = s.front.load(std::memory_order_acquire);
+  const float* depth = fb->data.data();
+  for (int v = 0; v < s.height; ++v) {
+    for (int u = 0; u < s.width; ++u) {
+      const float d = depth[v * s.width + u];
+      float* o = out + (v * s.width + u) * 3;
+      o[0] = d > 0.0f ? (static_cast<float>(u) - s.ux) * d / s.fx : 0.0f;
+      o[1] = d > 0.0f ? (static_cast<float>(v) - s.uy) * d / s.fy : 0.0f;
+      o[2] = d;
+    }
+  }
+  return 1;
+}
+
+int ds_get_vertices(int16_t* out, int capacity) {
+  if (!g_state) return 0;
+  CaptureState& s = *g_state;
+  const int n = s.width * s.height * 3;
+  if (capacity < n) return 0;
+  std::vector<float> fp(n);
+  if (!ds_get_vertices_fp(fp.data(), n)) return 0;
+  for (int i = 0; i < n; ++i) {
+    float x = fp[i];
+    if (x > 32767.0f) x = 32767.0f;
+    if (x < -32768.0f) x = -32768.0f;
+    out[i] = static_cast<int16_t>(x);
+  }
+  return 1;
+}
+
+// (dH, dW, 2) normalized colour coords per depth pixel; invalid -> (-1, -1)
+int ds_get_uv(float* out, int capacity) {
+  if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
+  CaptureState& s = *g_state;
+  const int n = s.width * s.height * 2;
+  if (capacity < n) return 0;
+  if (s.frame_counter.load(std::memory_order_acquire) == 0) return 0;
+  FrameBuffer* fb = s.front.load(std::memory_order_acquire);
+  compute_uv(s, fb->data.data(), out);
+  return 1;
+}
+
+// (dH, dW, 3) colour sampled at each depth pixel's UV — the reference's
+// buildSyncMap remap (depthsense.cxx:53-85): nearest colour pixel at
+// (uvy*cH, uvx*cW) where 0<uv<1 and the depth is valid, else black.
+int ds_get_sync(uint8_t* out, int capacity) {
+  if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
+  CaptureState& s = *g_state;
+  const int n = s.width * s.height * 3;
+  if (capacity < n) return 0;
+  if (s.frame_counter.load(std::memory_order_acquire) == 0 ||
+      s.cframe_counter.load(std::memory_order_acquire) == 0)
+    return 0;
+  FrameBuffer* dfb = s.front.load(std::memory_order_acquire);
+  ColourBuffer* cfb = s.cfront.load(std::memory_order_acquire);
+  const float* depth = dfb->data.data();
+  const uint8_t* colour = cfb->data.data();
+  std::vector<float> uv(static_cast<size_t>(s.width) * s.height * 2);
+  compute_uv(s, depth, uv.data());
+  for (int i = 0; i < s.width * s.height; ++i) {
+    const float uvx = uv[i * 2 + 0];
+    const float uvy = uv[i * 2 + 1];
+    uint8_t* o = out + i * 3;
+    if (uvx > 0.0f && uvx < 1.0f && uvy > 0.0f && uvy < 1.0f &&
+        depth[i] > 0.0f) {
+      const int ci = static_cast<int>(uvy * static_cast<float>(s.cheight));
+      const int cj = static_cast<int>(uvx * static_cast<float>(s.cwidth));
+      const uint8_t* c = colour + (ci * s.cwidth + cj) * 3;
+      o[0] = c[0];
+      o[1] = c[1];
+      o[2] = c[2];
+    } else {
+      o[0] = 0;
+      o[1] = 0;
+      o[2] = 0;
+    }
+  }
+  return 1;
+}
+
+void ds_get_color_intrinsics(float* out4) {
+  if (!g_state) return;
+  out4[0] = g_state->cfx;
+  out4[1] = g_state->cfy;
+  out4[2] = g_state->cux;
+  out4[3] = g_state->cuy;
+}
+
+void ds_get_extrinsics(float* out12) {
+  if (!g_state) return;
+  std::memcpy(out12, g_state->extrinsics, 12 * sizeof(float));
 }
 
 }  // extern "C"

@@ -559,6 +559,25 @@ class NYUImporter(DepthImporter):
                 out.append(self.jointsImgTo3D(ev))
         return out
 
+    def loadBaseline2D(self, filename):
+        """Tompson et al. 2D (u, v) predictions from test_predictions.mat
+        (reference importers.py:1147-1174): zero-confidence joints are
+        dropped, the survivors compacted to the front of each row."""
+        import scipy.io
+
+        mat = scipy.io.loadmat(filename)
+        names = mat["conv_joint_names"][0]
+        joints = mat["pred_joint_uvconf"][0]
+        nj = names.shape[0]
+        out = []
+        for dat in range(joints.shape[0]):
+            ev = np.zeros((nj, 2), np.float32)
+            keep = np.count_nonzero(joints[dat], axis=1) != 0
+            uv = joints[dat, keep, :2].astype(np.float32)
+            ev[: uv.shape[0]] = uv
+            out.append(ev)
+        return out
+
 
 class MSRA15Importer(DepthImporter):
     """reference importers.py:529-876 (inverted-Y camera, per-subject cubes)."""

@@ -173,6 +173,36 @@ class CaptureDevice(CameraDevice):
         self.lib.ds_get_intrinsics.restype = None
         self.lib.ds_get_accel.argtypes = [ctypes.POINTER(ctypes.c_float)]
         self.lib.ds_get_accel.restype = None
+        # colour / vertex / UV / sync surface (depthsense.cxx:203-223)
+        self.lib.ds_colour_width.restype = ctypes.c_int
+        self.lib.ds_colour_height.restype = ctypes.c_int
+        self.lib.ds_colour_frame_counter.restype = ctypes.c_longlong
+        self.lib.ds_get_colour.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int
+        ]
+        self.lib.ds_get_colour.restype = ctypes.c_int
+        self.lib.ds_get_vertices.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int
+        ]
+        self.lib.ds_get_vertices.restype = ctypes.c_int
+        self.lib.ds_get_vertices_fp.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int
+        ]
+        self.lib.ds_get_vertices_fp.restype = ctypes.c_int
+        self.lib.ds_get_uv.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int
+        ]
+        self.lib.ds_get_uv.restype = ctypes.c_int
+        self.lib.ds_get_sync.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int
+        ]
+        self.lib.ds_get_sync.restype = ctypes.c_int
+        self.lib.ds_get_color_intrinsics.argtypes = [
+            ctypes.POINTER(ctypes.c_float)
+        ]
+        self.lib.ds_get_color_intrinsics.restype = None
+        self.lib.ds_get_extrinsics.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        self.lib.ds_get_extrinsics.restype = None
         self.mode = mode
         self.source = source
         self.fps = fps
@@ -217,3 +247,77 @@ class CaptureDevice(CameraDevice):
 
     def getLastDepthNum(self):
         return int(self.lib.ds_frame_counter())
+
+    # ---- colour / vertex / UV / sync surface (reference depthsense.cxx
+    # getColourMap / getVertices(FP) / getUVMap / getSyncMap, :203-223) ----
+
+    def getRGB(self):
+        """(ok, (cH, cW, 3) uint8) from the colour stream."""
+        h, w = self.lib.ds_colour_height(), self.lib.ds_colour_width()
+        if h == 0 or w == 0:
+            return False, None
+        buf = np.empty((h, w, 3), np.uint8)
+        ok = self.lib.ds_get_colour(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size
+        )
+        if not ok:
+            return False, None
+        if self.mirror:
+            buf = buf[:, ::-1]
+        return True, buf
+
+    def getVertices(self, fp: bool = False):
+        """(ok, (dH, dW, 3) vertex map in depth-camera mm); fp=False gives
+        the reference's saturating int16 map, fp=True exact float32."""
+        if self._shape is None:
+            return False, None
+        h, w = self._shape
+        if fp:
+            buf = np.empty((h, w, 3), np.float32)
+            ok = self.lib.ds_get_vertices_fp(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size
+            )
+        else:
+            buf = np.empty((h, w, 3), np.int16)
+            ok = self.lib.ds_get_vertices(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), buf.size
+            )
+        return (True, buf) if ok else (False, None)
+
+    def getUVMap(self):
+        """(ok, (dH, dW, 2) normalized colour coords; invalid -> (-1,-1))."""
+        if self._shape is None:
+            return False, None
+        h, w = self._shape
+        buf = np.empty((h, w, 2), np.float32)
+        ok = self.lib.ds_get_uv(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size
+        )
+        return (True, buf) if ok else (False, None)
+
+    def getSyncMap(self):
+        """(ok, (dH, dW, 3) uint8 colour remapped onto depth pixels)."""
+        if self._shape is None:
+            return False, None
+        h, w = self._shape
+        buf = np.empty((h, w, 3), np.uint8)
+        ok = self.lib.ds_get_sync(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size
+        )
+        return (True, buf) if ok else (False, None)
+
+    def getColorIntrinsics(self):
+        vals = (ctypes.c_float * 4)()
+        self.lib.ds_get_color_intrinsics(vals)
+        return Camera(fx=vals[0], fy=vals[1], ux=vals[2], uy=vals[3],
+                      width=self.lib.ds_colour_width(),
+                      height=self.lib.ds_colour_height())
+
+    def getExtrinsics(self):
+        """Row-major (3, 4) [R|t]: colour-camera point = R @ X + t (mm)."""
+        vals = (ctypes.c_float * 12)()
+        self.lib.ds_get_extrinsics(vals)
+        return np.array(vals[:], np.float32).reshape(3, 4)
+
+    def getLastColorNum(self):
+        return int(self.lib.ds_colour_frame_counter())

@@ -26,6 +26,12 @@ if _plat:
 
     jax.config.update("jax_platforms", _plat)
 
+# persistent compilation cache: the axon tunnel remote-compiles every new
+# computation (~10-60 s); caching makes repeat runs start in seconds
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
 
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)

@@ -29,7 +29,10 @@ import pytest
 # build the native capture shim if missing (g++ is in the image)
 _CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu", "cpp")
 _LIB = os.path.join(_CPP_DIR, "libcapture.so")
-if not os.path.exists(_LIB):
+_SRC = os.path.join(_CPP_DIR, "capture.cpp")
+if not os.path.exists(_LIB) or (
+    os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+):
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",

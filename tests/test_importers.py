@@ -196,6 +196,33 @@ def test_nyu_baseline_mat(nyu_tree, tmp_path):
     assert len(out) == 2 and out[0].shape == (14, 3)
 
 
+def test_nyu_baseline_2d(nyu_tree, tmp_path):
+    """loadBaseline2D (reference importers.py:1147-1174): zero-confidence
+    joints dropped, survivors compacted to the front of each row."""
+    root, truths = nyu_tree
+    imp = NYUImporter(root, use_cache=False)
+    n, nj = 2, 14
+    pred = np.zeros((n, nj, 3))
+    for i, (gtorig, _) in enumerate(truths):
+        pred[i, :, :2] = gtorig[imp.restricted_joints][:, :2]
+        pred[i, :, 2] = 1.0
+    pred[1, 3] = 0.0  # all-zero joint must be dropped + compacted
+    scipy.io.savemat(
+        str(tmp_path / "pred2d.mat"),
+        {
+            "pred_joint_uvconf": pred[None],
+            "conv_joint_names": np.array([f"j{i}" for i in range(nj)])[None],
+        },
+    )
+    out = imp.loadBaseline2D(str(tmp_path / "pred2d.mat"))
+    assert len(out) == 2 and out[0].shape == (nj, 2)
+    np.testing.assert_allclose(out[0], pred[0, :, :2], rtol=1e-6)
+    expect = np.zeros((nj, 2), np.float32)
+    kept = np.concatenate([pred[1, :3, :2], pred[1, 4:, :2]])
+    expect[: kept.shape[0]] = kept
+    np.testing.assert_allclose(out[1], expect, rtol=1e-6)
+
+
 # ----------------------------------------------------------------------
 @pytest.fixture(scope="module")
 def msra_tree(tmp_path_factory):

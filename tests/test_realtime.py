@@ -227,6 +227,63 @@ class TestCaptureShim:
         assert accel.shape == (3,)
         dev.stop()
 
+    def test_colour_uv_sync_surface(self):
+        """Colour/vertex/UV/sync surface (reference depthsense.cxx:53-85,
+        203-223): geometric consistency between the streams."""
+        import time
+
+        # 1 fps: the first frame publishes immediately, the next a second
+        # later, so every read below sees the same stable front buffer
+        dev = CaptureDevice(CPP_LIB, mode="synthetic", fps=1.0)
+        dev.start()
+        time.sleep(0.2)
+        ok, depth = dev.getDepth()
+        assert ok
+        ok, rgb = dev.getRGB()
+        assert ok and rgb.shape == (480, 640, 3) and rgb.dtype == np.uint8
+        assert dev.getLastColorNum() > 0
+
+        ok, vfp = dev.getVertices(fp=True)
+        assert ok and vfp.shape == (240, 320, 3)
+        ok, v16 = dev.getVertices()
+        assert ok and v16.dtype == np.int16
+        # back-projection identity on valid pixels of vfp itself:
+        # X = (u-ux)*d/fx, and vertex z equals the depth map
+        cam = dev.getDepthIntrinsics()
+        np.testing.assert_allclose(vfp[..., 2], depth, atol=1e-4)
+        valid = vfp[..., 2] > 0
+        assert valid.sum() > 50
+        uu = np.broadcast_to(np.arange(320, dtype=np.float32), (240, 320))
+        expect_x = (uu - cam.ux) * vfp[..., 2] / cam.fx
+        np.testing.assert_allclose(vfp[..., 0][valid], expect_x[valid],
+                                   rtol=1e-5, atol=1e-3)
+
+        ok, uv = dev.getUVMap()
+        assert ok and uv.shape == (240, 320, 2)
+        dvalid = vfp[..., 2] > 0
+        # invalid depth pixels carry the (-1, -1) sentinel
+        assert (uv[~dvalid] == -1.0).all()
+
+        ok, sync = dev.getSyncMap()
+        assert ok and sync.shape == (240, 320, 3)
+        # remapped colours at hand pixels are the splatted skin tone
+        # (sample pixels well inside the blob: erode validity by 2 px)
+        from scipy.ndimage import binary_erosion
+
+        core = binary_erosion(dvalid, iterations=2)
+        if core.sum():
+            skin = (sync[core] == [210, 160, 120]).all(axis=-1)
+            assert skin.mean() > 0.9
+        # background is black (no UV hit or invalid depth)
+        assert (sync[~dvalid] == 0).all()
+
+        ccam = dev.getColorIntrinsics()
+        assert ccam.fx > 0 and ccam.width == 640
+        E = dev.getExtrinsics()
+        assert E.shape == (3, 4)
+        np.testing.assert_allclose(E[:, :3], np.eye(3))
+        dev.stop()
+
     def test_file_capture(self, tmp_path):
         import time
 
