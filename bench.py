@@ -79,6 +79,57 @@ def main():
     joints, _, _ = est(variables, depth_d, com_d)
     joints.block_until_ready()
 
+    # BENCH_CHECK=1: on-device parity across every crop path (the CPU-mesh
+    # tests cover interpret mode; this asserts real Mosaic/XLA lowering)
+    if os.environ.get("BENCH_CHECK"):
+        from deepprior_tpu.ops.crop import clamp_depth, crop3d
+        from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop
+        from deepprior_tpu.ops.crop import normalize_crop
+
+        cube = (250.0, 250.0, 250.0)
+        dpt_c, _, _ = jax.jit(clamp_depth)(jnp.asarray(depth_u))
+        com_j = jnp.asarray(com_u)
+
+        def crop_with(method, use_bilinear=False):
+            fn = jax.jit(
+                lambda d, c: crop3d(
+                    d, c, cube, cam.fx, cam.fy,
+                    use_bilinear=use_bilinear, method=method,
+                )[0]
+            )
+            return np.asarray(fn(dpt_c, com_j))
+
+        gather = crop_with("gather")
+        onehot = crop_with("onehot")
+        assert (gather == onehot).all(), "gather vs onehot mismatch on device"
+
+        pallas_msg = "pallas skipped (non-TPU)"
+        if jax.devices()[0].platform == "tpu":
+            pallas_norm = np.asarray(
+                pallas_normalized_crop(dpt_c, com_j, cube, cam.fx, cam.fy)[0]
+            )
+            onehot_norm = np.asarray(
+                jax.jit(
+                    lambda d, c: normalize_crop(
+                        crop3d(d, c, cube, cam.fx, cam.fy, method="onehot")[0],
+                        c[:, 2], cube[2],
+                    )
+                )(dpt_c, com_j)
+            )
+            assert (pallas_norm == onehot_norm).all(), \
+                "pallas vs onehot mismatch on device"
+            pallas_msg = "pallas==onehot bit-exact"
+
+        bi_gather = crop_with("gather", use_bilinear=True)
+        bi_onehot = crop_with("onehot", use_bilinear=True)
+        bi_err = np.abs(bi_gather - bi_onehot).max()
+        assert bi_err < 2e-2, f"bilinear gather vs onehot: max {bi_err}"
+        print(
+            f"BENCH_CHECK ok: gather==onehot bit-exact, {pallas_msg}, "
+            f"bilinear max|diff|={bi_err:.2e} mm "
+            f"on {jax.devices()[0].platform}"
+        )
+
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -226,7 +226,14 @@ class DepthImporter:
                 if self.refine_net is not None:
                     # 'comref' mode: CNN refinement of the detected CoM
                     com = self.refine_net(dptc, com, cube_arr)
-            crop, m = crop3d(dptc, com, cube_arr, cam.fx, cam.fy, dsize)
+            # onehot rides the MXU on TPU (bit-identical to gather; the
+            # gather lowering is ~80x slower there), gather wins on CPU
+            import jax
+
+            method = "onehot" if jax.default_backend() == "tpu" else "gather"
+            crop, m = crop3d(
+                dptc, com, cube_arr, cam.fx, cam.fy, dsize, method=method
+            )
             crop = np.asarray(crop)
             m_np = np.asarray(m)
             com_np = np.asarray(com)

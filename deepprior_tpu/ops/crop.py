@@ -239,26 +239,21 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
     return d, zstart, zend
 
 
-def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
-    """Batched nearest crop via separable one-hot selection matmuls.
+def _onehot_crop_geometry(com, cube, fx, fy, img_hw, dsize):
+    """Shared per-sample crop geometry for the one-hot paths.
 
-    An axis-aligned nearest crop is out[v, u] = dpt[q(v), p(u)] — i.e.
-    crop = R @ dpt @ C^T with one-hot R (dh, H), C (dw, W).  TPUs have no
-    efficient vector gather; the two matmuls ride the MXU instead, and
-    out-of-range indices yield all-zero one-hot rows == the reference's
-    zero padding.  Identical indexing math to _crop3d_single (nearest).
+    Index math via the exact floor-div: du*wb is integer-valued and exact
+    in f32 (< 2^24); _exact_floor_div is immune to the backend's
+    multiply-by-reciprocal division rewrite, so indices are bit-identical
+    across CPU/TPU and match the host oracle.
+
+    Returns (p (B, dw), q (B, dh), zstart, zend, off_x, off_y, sz_w, sz_h).
     """
-    b, h, w = dpt.shape
     dw, dh = dsize
-    xs, xe, ys, ye, zstart, zend = com_to_bounds(com, cube, fx, fy, (h, w))
+    xs, xe, ys, ye, zstart, zend = com_to_bounds(com, cube, fx, fy, img_hw)
     scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
     wb = xe - xs
     hb = ye - ys
-
-    # index math via the exact floor-div: du*wb is integer-valued and exact
-    # in f32 (< 2^24); _exact_floor_div is immune to the backend's
-    # multiply-by-reciprocal division rewrite, so indices are bit-identical
-    # across CPU/TPU and match the host oracle
     u = jnp.arange(dw, dtype=jnp.float32)
     v = jnp.arange(dh, dtype=jnp.float32)
     p = xs[:, None] + _exact_floor_div(
@@ -267,21 +262,12 @@ def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
     q = ys[:, None] + _exact_floor_div(
         (v[None, :] - off_y[:, None]) * hb[:, None], sz_h[:, None]
     )
+    return p, q, zstart, zend, off_x, off_y, sz_w, sz_h
 
-    hh = jnp.arange(h, dtype=jnp.float32)
-    ww = jnp.arange(w, dtype=jnp.float32)
-    rowsel = (q[:, :, None] == hh[None, None, :]).astype(dpt.dtype)  # (B, dh, H)
-    colsel = (p[:, :, None] == ww[None, None, :]).astype(dpt.dtype)  # (B, dw, W)
-    # HIGHEST precision: the TPU MXU's default 1-pass bf16 would quantize
-    # the selected depth values (~6 mm error at 1.5 m); bf16x3 is exact for
-    # a one-hot selection of f32 values
-    rows = jnp.einsum(
-        "bih,bhw->biw", rowsel, dpt, precision=jax.lax.Precision.HIGHEST
-    )
-    d = jnp.einsum(
-        "biw,bjw->bij", rows, colsel, precision=jax.lax.Precision.HIGHEST
-    )
 
+def _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize):
+    """z-threshold + embed mask (handdetector.py:291-295, 468-473)."""
+    dw, dh = dsize
     zs_b = zstart[:, None, None]
     ze_b = zend[:, None, None]
     d = jnp.where((d < zs_b) & (d != 0.0), zs_b, d)
@@ -295,6 +281,137 @@ def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
         & (vv < (off_y + sz_h)[:, None, None])
     )
     return jnp.where(in_embed, d, 0.0)
+
+
+def _onehot_select(dpt, p, q, base_x=None, base_y=None):
+    """crop[b] = R_b @ dpt_b @ C_b^T with one-hot R (dh, H), C (dw, W).
+
+    TPUs have no efficient vector gather; the two matmuls ride the MXU
+    instead, and out-of-range indices yield all-zero one-hot rows == the
+    reference's zero padding.  base_x/base_y shift p/q into window-relative
+    coordinates for the banded fast path.
+
+    HIGHEST precision: the TPU MXU's default 1-pass bf16 would quantize
+    the selected depth values (~6 mm error at 1.5 m); bf16x3 is exact for
+    a one-hot selection of f32 values.
+    """
+    h, w = dpt.shape[-2:]
+    if base_y is not None:
+        q = q - base_y[:, None]
+    if base_x is not None:
+        p = p - base_x[:, None]
+    hh = jnp.arange(h, dtype=jnp.float32)
+    ww = jnp.arange(w, dtype=jnp.float32)
+    rowsel = (q[:, :, None] == hh[None, None, :]).astype(dpt.dtype)  # (B, dh, H)
+    colsel = (p[:, :, None] == ww[None, None, :]).astype(dpt.dtype)  # (B, dw, W)
+    rows = jnp.einsum(
+        "bih,bhw->biw", rowsel, dpt, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "biw,bjw->bij", rows, colsel, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+# window (rows, cols) for the banded fast path: covers the typical hand
+# bbox (cube 250-300 mm at z >= 450 mm under NYU intrinsics: <= ~340 px)
+ONEHOT_WINDOW = (352, 384)
+
+
+def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
+    """Batched nearest crop via separable one-hot selection matmuls.
+
+    An axis-aligned nearest crop is out[v, u] = dpt[q(v), p(u)] — i.e.
+    crop = R @ dpt @ C^T (see _onehot_select).  When every sample's source
+    band fits in a fixed ONEHOT_WINDOW, a runtime `lax.cond` takes a banded
+    fast path: dynamic-slice the window per sample and contract over
+    window_rows/cols instead of H/W (2-3x fewer MXU passes; the indices are
+    the same integers, so the result is bit-identical either way).
+    """
+    b, h, w = dpt.shape
+    p, q, zstart, zend, off_x, off_y, sz_w, sz_h = _onehot_crop_geometry(
+        com, cube, fx, fy, (h, w), dsize
+    )
+
+    def full(dpt):
+        return _onehot_select(dpt, p, q)
+
+    win_h, win_w = ONEHOT_WINDOW
+    if h <= win_h or w <= win_w:
+        d = full(dpt)
+    else:
+        # p/q increase monotonically (wb, hb, sz > 0), so the in-image
+        # source band is [clip(first), clip(last)] on each axis
+        qlo = jnp.clip(q[:, 0], 0.0, h - 1.0)
+        qhi = jnp.clip(q[:, -1], 0.0, h - 1.0)
+        plo = jnp.clip(p[:, 0], 0.0, w - 1.0)
+        phi = jnp.clip(p[:, -1], 0.0, w - 1.0)
+        wy = jnp.clip(qlo, 0.0, float(h - win_h))
+        wx = jnp.clip(plo, 0.0, float(w - win_w))
+        fits = jnp.all((qhi - wy < win_h) & (phi - wx < win_w))
+
+        def banded(dpt):
+            starts_y = wy.astype(jnp.int32)
+            starts_x = wx.astype(jnp.int32)
+            windows = jax.vmap(
+                lambda img, sy, sx: jax.lax.dynamic_slice(
+                    img, (sy, sx), (win_h, win_w)
+                )
+            )(dpt, starts_y, starts_x)
+            return _onehot_select(windows, p, q, base_x=wx, base_y=wy)
+
+        d = jax.lax.cond(fits, banded, full, dpt)
+
+    return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
+
+
+def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
+    """Batched bilinear crop via separable two-tap selection matmuls.
+
+    Bilinear interpolation is separable: out = R @ dpt @ C^T where each row
+    of R carries (1-fy, fy) at rows (y0, y0+1) and each row of C carries
+    (1-fx, fx) at columns (x0, x0+1).  Out-of-image taps produce zero rows,
+    matching the gather path's zero substitution (handdetector.py:274-279).
+    Runs on the MXU — no gathers (ROADMAP "bilinear crop on MXU").
+
+    Same sample coordinates as _crop3d_single(use_bilinear=True); the only
+    deviation is summation order (separable vs 4-tap), so agreement with the
+    gather path is to f32 round-off, not bit-exact like the nearest paths.
+    """
+    b, h, w = dpt.shape
+    dw, dh = dsize
+    xs, xe, ys, ye, zstart, zend = com_to_bounds(com, cube, fx, fy, (h, w))
+    scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
+    wb = xe - xs
+    hb = ye - ys
+
+    u = jnp.arange(dw, dtype=jnp.float32)
+    v = jnp.arange(dh, dtype=jnp.float32)
+    # identical coordinate math to the gather path (same floors/weights)
+    x = (u[None, :] - off_x[:, None]) * (wb / sz_w)[:, None] + xs[:, None]
+    y = (v[None, :] - off_y[:, None]) * (hb / sz_h)[:, None] + ys[:, None]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fxw = x - x0  # (B, dw)
+    fyw = y - y0  # (B, dh)
+
+    hh = jnp.arange(h, dtype=jnp.float32)
+    ww = jnp.arange(w, dtype=jnp.float32)
+    rowsel = (y0[:, :, None] == hh[None, None, :]) * (1.0 - fyw)[:, :, None] + (
+        (y0[:, :, None] + 1.0) == hh[None, None, :]
+    ) * fyw[:, :, None]  # (B, dh, H)
+    colsel = (x0[:, :, None] == ww[None, None, :]) * (1.0 - fxw)[:, :, None] + (
+        (x0[:, :, None] + 1.0) == ww[None, None, :]
+    ) * fxw[:, :, None]  # (B, dw, W)
+
+    rows = jnp.einsum(
+        "bih,bhw->biw", rowsel.astype(dpt.dtype), dpt,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = jnp.einsum(
+        "biw,bjw->bij", rows, colsel.astype(dpt.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
 
 
 def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
@@ -317,7 +434,9 @@ def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
     cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
-    if method == "onehot" and not use_bilinear:
+    if method == "onehot" and use_bilinear:
+        crop = _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize)
+    elif method == "onehot":
         crop = _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize)
     else:
         crop_fn = lambda d, c, cb: _crop3d_single(

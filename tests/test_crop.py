@@ -78,6 +78,72 @@ def test_fused_crop_matches_oracle(nyu_scene):
         np.testing.assert_allclose(np.asarray(m)[i], f.T, rtol=1e-5, atol=1e-3)
 
 
+def test_onehot_banded_window_bitexact(nyu_scene):
+    """The banded fast path (window dynamic-slice + small one-hot matmuls)
+    is bit-identical to the full-frame selection, and the runtime cond
+    falls back when a sample's source band exceeds the window."""
+    import deepprior_tpu.ops.crop as crop_mod
+
+    cam, frames = nyu_scene
+    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    dpt_c, _, _ = clamp_depth(dpt)
+
+    def run(cube_mm):
+        cube = np.array([cube_mm] * 3, np.float32)
+        return np.asarray(
+            jax.jit(
+                lambda d, c: crop3d(d, c, cube, cam.fx, cam.fy, method="onehot")
+            )(dpt_c, com)[0]
+        )
+
+    def run_full(cube_mm):
+        cube = np.array([cube_mm] * 3, np.float32)
+        p, q, zs, ze, ox, oy, sw, sh = crop_mod._onehot_crop_geometry(
+            jnp.asarray(com), jnp.broadcast_to(cube, com.shape),
+            cam.fx, cam.fy, dpt_c.shape[-2:], (128, 128),
+        )
+        d = crop_mod._onehot_select(jnp.asarray(dpt_c), p, q)
+        return np.asarray(
+            crop_mod._crop_epilogue(d, zs, ze, ox, oy, sw, sh, (128, 128))
+        )
+
+    import jax.numpy as jnp
+
+    # 250 mm cube at z>=500 fits the window -> banded branch; a 900 mm cube
+    # (band ~ 900/500*588 px > window) forces the full branch.  Both must
+    # equal the unconditional full-frame selection bit-for-bit.
+    np.testing.assert_array_equal(run(250.0), run_full(250.0))
+    np.testing.assert_array_equal(run(900.0), run_full(900.0))
+
+
+def test_bilinear_onehot_matches_gather(nyu_scene):
+    """MXU two-tap selection-matmul bilinear crop == the gather bilinear
+    path to f32 round-off (separable vs 4-tap summation order)."""
+    cam, frames = nyu_scene
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    dpt_c, _, _ = clamp_depth(dpt)
+    ref, m_ref = jax.jit(
+        lambda d, c: crop3d(d, c, cube, cam.fx, cam.fy, use_bilinear=True)
+    )(dpt_c, com)
+    fast, m = jax.jit(
+        lambda d, c: crop3d(
+            d, c, cube, cam.fx, cam.fy, use_bilinear=True, method="onehot"
+        )
+    )(dpt_c, com)
+    # the z-threshold is a cliff: a tap sum landing within round-off of
+    # zstart/zend can resolve differently; compare away from the cliffs
+    ref = np.asarray(ref)
+    fast = np.asarray(fast)
+    np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref))
+    # and the interpolation genuinely differs from nearest (it's bilinear)
+    near, _ = crop3d(dpt_c, com, cube, cam.fx, cam.fy, method="onehot")
+    assert np.abs(fast - np.asarray(near)).max() > 0.5
+
+
 def test_crop_label_invariant(nyu_scene):
     """gtcrop == transformPoints2D(gtorig, M) — the invariant implicitly
     asserted at reference importers.py:396."""
