@@ -52,6 +52,19 @@ class CropConfig(NamedTuple):
     max_depth_ceil: float = 1500.0  # reference handdetector.py:57
 
 
+def depth_limits(dpt, cfg: CropConfig = CropConfig()):
+    """Per-image clamp limits without materializing the cleaned frame.
+
+    Same reductions as clamp_depth; use with ops/pallas_crop's fused
+    clamping, which cleans only the crop window instead of rewriting the
+    whole frame batch through HBM.
+    """
+    dpt = jnp.asarray(dpt, jnp.float32)
+    max_d = jnp.minimum(cfg.max_depth_ceil, jnp.max(dpt, axis=(-2, -1)))
+    min_d = jnp.maximum(cfg.min_depth_floor, jnp.min(dpt, axis=(-2, -1)))
+    return min_d, max_d
+
+
 def clamp_depth(dpt, cfg: CropConfig = CropConfig()):
     """Zero out-of-range depth, per image.
 
@@ -63,8 +76,7 @@ def clamp_depth(dpt, cfg: CropConfig = CropConfig()):
     depth limits have shape (...,).
     """
     dpt = jnp.asarray(dpt, jnp.float32)
-    max_d = jnp.minimum(cfg.max_depth_ceil, jnp.max(dpt, axis=(-2, -1)))
-    min_d = jnp.maximum(cfg.min_depth_floor, jnp.min(dpt, axis=(-2, -1)))
+    min_d, max_d = depth_limits(dpt, cfg)
     keep = (dpt >= min_d[..., None, None]) & (dpt <= max_d[..., None, None])
     return jnp.where(keep, dpt, 0.0), min_d, max_d
 
@@ -312,55 +324,24 @@ def _onehot_select(dpt, p, q, base_x=None, base_y=None):
     )
 
 
-# window (rows, cols) for the banded fast path: covers the typical hand
-# bbox (cube 250-300 mm at z >= 450 mm under NYU intrinsics: <= ~340 px)
-ONEHOT_WINDOW = (352, 384)
-
-
 def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
     """Batched nearest crop via separable one-hot selection matmuls.
 
     An axis-aligned nearest crop is out[v, u] = dpt[q(v), p(u)] — i.e.
-    crop = R @ dpt @ C^T (see _onehot_select).  When every sample's source
-    band fits in a fixed ONEHOT_WINDOW, a runtime `lax.cond` takes a banded
-    fast path: dynamic-slice the window per sample and contract over
-    window_rows/cols instead of H/W (2-3x fewer MXU passes; the indices are
-    the same integers, so the result is bit-identical either way).
+    crop = R @ dpt @ C^T (see _onehot_select).
+
+    A banded variant (dynamic-slice each sample's source window, contract
+    over window rows/cols) was measured SLOWER on TPU (5.8 vs 3.5 ms per
+    1024 NYU frames): the slice materializes a second copy of the band
+    through HBM, and the crop is bandwidth-bound, not MXU-bound.  The
+    windowed contraction pays off only where the window lives in VMEM —
+    that version is ops/pallas_crop.py.
     """
     b, h, w = dpt.shape
     p, q, zstart, zend, off_x, off_y, sz_w, sz_h = _onehot_crop_geometry(
         com, cube, fx, fy, (h, w), dsize
     )
-
-    def full(dpt):
-        return _onehot_select(dpt, p, q)
-
-    win_h, win_w = ONEHOT_WINDOW
-    if h <= win_h or w <= win_w:
-        d = full(dpt)
-    else:
-        # p/q increase monotonically (wb, hb, sz > 0), so the in-image
-        # source band is [clip(first), clip(last)] on each axis
-        qlo = jnp.clip(q[:, 0], 0.0, h - 1.0)
-        qhi = jnp.clip(q[:, -1], 0.0, h - 1.0)
-        plo = jnp.clip(p[:, 0], 0.0, w - 1.0)
-        phi = jnp.clip(p[:, -1], 0.0, w - 1.0)
-        wy = jnp.clip(qlo, 0.0, float(h - win_h))
-        wx = jnp.clip(plo, 0.0, float(w - win_w))
-        fits = jnp.all((qhi - wy < win_h) & (phi - wx < win_w))
-
-        def banded(dpt):
-            starts_y = wy.astype(jnp.int32)
-            starts_x = wx.astype(jnp.int32)
-            windows = jax.vmap(
-                lambda img, sy, sx: jax.lax.dynamic_slice(
-                    img, (sy, sx), (win_h, win_w)
-                )
-            )(dpt, starts_y, starts_x)
-            return _onehot_select(windows, p, q, base_x=wx, base_y=wy)
-
-        d = jax.lax.cond(fits, banded, full, dpt)
-
+    d = _onehot_select(dpt, p, q)
     return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
 
 

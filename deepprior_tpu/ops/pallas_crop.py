@@ -33,9 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 from deepprior_tpu.ops.crop import _embed_geometry, com_to_bounds
 
 
-def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
-    """params_ref: (B, 12) scalar-prefetch rows [xstart, ystart, wb, hb,
-    off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h]."""
+# in-VMEM source window (rows, cols): covers the typical hand bbox (cube
+# 250-300 mm at z >= 450 mm under NYU intrinsics: <= ~350 px + alignment
+# slack).  Slicing the window out of the VMEM-resident frame is free (no
+# extra HBM traffic — the failure mode of doing this in XLA), and the
+# one-hot contractions shrink from H/W to the window dims (~2x fewer MXU
+# passes).  Samples whose band doesn't fit take the full-frame branch.
+WIN_H = 384  # window start sublane-aligned (multiple of 8)
+WIN_W = 512  # window start lane-aligned (multiple of 128) -> extra slack
+
+
+def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
+                 clamp=False):
+    """params_ref: (B, 15|17) scalar-prefetch rows [xstart, ystart, wb, hb,
+    off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h, fits, wy, wx
+    (, min_d, max_d when clamp)]."""
     i = pl.program_id(0)
     dw, dh = dsize
     h, w = dpt_ref.shape
@@ -52,6 +64,9 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
     cube_half = params_ref[i, 9]
     sz_w = params_ref[i, 10]
     sz_h = params_ref[i, 11]
+    fits = params_ref[i, 12] > 0.0
+    wy = params_ref[i, 13]
+    wx = params_ref[i, 14]
 
     # output pixel grids (2D iota: TPU requires >=2D, integer dtype only)
     u = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 1).astype(jnp.float32)
@@ -64,45 +79,78 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one):
     p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)  # (1, dw)
     q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)  # (dh, 1)
 
-    # one-hot row/col selectors; out-of-range -> all-zero row == zero pad
-    hh = jax.lax.broadcasted_iota(jnp.int32, (dh, h), 1).astype(jnp.float32)
-    rowsel = (hh == q).astype(jnp.float32)  # (dh, H)
-    ww = jax.lax.broadcasted_iota(jnp.int32, (dw, w), 1).astype(jnp.float32)
-    colsel = (ww == p.reshape(dw, 1)).astype(jnp.float32)  # (dw, W)
+    if clamp:
+        min_d = params_ref[i, 15]
+        max_d = params_ref[i, 16]
 
-    # HIGHEST precision: the MXU's default 1-pass bf16 would quantize the
-    # selected depth values; bf16x3 is exact for one-hot selection of f32
-    rows = jnp.dot(
-        rowsel, dpt_ref[:, :],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d = jax.lax.dot_general(
-        rows, colsel,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (dh, dw)
+    def select(src, p_rel, q_rel):
+        """One-hot R @ src @ C^T; out-of-range -> zero row == zero pad.
 
-    # z-threshold: near -> zstart, far -> 0
-    d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
-    d = jnp.where(d > zend, 0.0, d)
-    # embed mask: outside the resized region -> ND background (0)
-    in_embed = (
-        (u >= off_x) & (u < off_x + sz_w) & (v >= off_y) & (v < off_y + sz_h)
-    )
-    d = jnp.where(in_embed, d, 0.0)
-    # normalize (0 == background -> far cube face)
-    d = jnp.where(d == 0.0, com_z + cube_half, d)
-    if norm_zero_one:
-        out = (d - (com_z - cube_half)) / (2.0 * cube_half)
+        HIGHEST precision: the MXU's default 1-pass bf16 would quantize
+        the selected depth values; bf16x3 is exact for one-hot selection
+        of f32 values.
+
+        With clamp=True the constructor's depth clamping (clamp_depth)
+        applies to the window values right here — cleaning ~0.2 MB of
+        window per sample instead of rewriting the whole frame batch
+        through HBM beforehand (bit-identical: cleaning is elementwise,
+        selection is one-hot)."""
+        if clamp:
+            keep = (src >= min_d) & (src <= max_d)
+            src = jnp.where(keep, src, 0.0)
+        sh, sw = src.shape
+        hh = jax.lax.broadcasted_iota(jnp.int32, (dh, sh), 1).astype(jnp.float32)
+        rowsel = (hh == q_rel).astype(jnp.float32)  # (dh, src_h)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (dw, sw), 1).astype(jnp.float32)
+        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.float32)  # (dw, src_w)
+        rows = jnp.dot(
+            rowsel, src,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.dot_general(
+            rows, colsel,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (dh, dw)
+
+    def epilogue(d):
+        # z-threshold: near -> zstart, far -> 0
+        d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
+        d = jnp.where(d > zend, 0.0, d)
+        # embed mask: outside the resized region -> ND background (0)
+        in_embed = (
+            (u >= off_x) & (u < off_x + sz_w)
+            & (v >= off_y) & (v < off_y + sz_h)
+        )
+        d = jnp.where(in_embed, d, 0.0)
+        # normalize (0 == background -> far cube face)
+        d = jnp.where(d == 0.0, com_z + cube_half, d)
+        if norm_zero_one:
+            return (d - (com_z - cube_half)) / (2.0 * cube_half)
+        return (d - com_z) / cube_half
+
+    if h > WIN_H and w > WIN_W:
+
+        @pl.when(fits)
+        def _banded():
+            wy_i = pl.multiple_of(params_ref[i, 13].astype(jnp.int32), 8)
+            wx_i = pl.multiple_of(params_ref[i, 14].astype(jnp.int32), 128)
+            win = dpt_ref[pl.ds(wy_i, WIN_H), pl.ds(wx_i, WIN_W)]
+            out_ref[:, :] = epilogue(select(win, p - wx, q - wy))
+
+        @pl.when(jnp.logical_not(fits))
+        def _full():
+            out_ref[:, :] = epilogue(select(dpt_ref[:, :], p, q))
+
     else:
-        out = (d - com_z) / cube_half
-    out_ref[:, :] = out
+        out_ref[:, :] = epilogue(select(dpt_ref[:, :], p, q))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fx", "fy", "dsize", "norm_zero_one")
+    jax.jit,
+    static_argnames=("fx", "fy", "dsize", "norm_zero_one", "fuse_clamp"),
 )
 def pallas_normalized_crop(
     dpt,
@@ -112,10 +160,15 @@ def pallas_normalized_crop(
     fy: float,
     dsize: Tuple[int, int] = (128, 128),
     norm_zero_one: bool = False,
+    fuse_clamp: bool = False,
 ):
     """Drop-in fast path for ops.crop.normalized_crop (same outputs).
 
-    dpt: (B, H, W) clamped depth; com: (B, 3); cube: (3,) or (B, 3).
+    dpt: (B, H, W) clamped depth — or RAW depth with fuse_clamp=True, which
+    applies clamp_depth's per-image limits to the crop window inside the
+    kernel instead of rewriting the whole frame batch through HBM first
+    (bit-identical, saves a full-frame read+write pass).
+    com: (B, 3); cube: (3,) or (B, 3).
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
     from deepprior_tpu.ops.crop import crop_transform
@@ -130,13 +183,46 @@ def pallas_normalized_crop(
     scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
     wb = xe - xs
     hb = ye - ys
-    params = jnp.stack(
-        [
-            xs, ys, wb, hb, off_x, off_y, zs, ze,
-            com[:, 2], cube[:, 2] / 2.0, sz_w, sz_h,
-        ],
-        axis=1,
-    )  # (B, 12)
+
+    # banded-window parameters: p/q increase monotonically, so the in-image
+    # source band is [clip(first), clip(last)] per axis; the window start is
+    # sublane-aligned and clamped, and fits flags whether the whole band
+    # lands inside the fixed (WIN_H, WIN_W) window
+    from deepprior_tpu.ops.crop import _exact_floor_div
+
+    def band(first_start, extent, off, sz, n_out, limit):
+        lo = first_start + _exact_floor_div((0.0 - off) * extent, sz)
+        hi = first_start + _exact_floor_div(
+            (float(n_out - 1) - off) * extent, sz
+        )
+        lo = jnp.clip(lo, 0.0, limit - 1.0)
+        hi = jnp.clip(hi, 0.0, limit - 1.0)
+        return lo, hi
+
+    qlo, qhi = band(ys, hb, off_y, sz_h, dh, h)
+    plo, phi = band(xs, wb, off_x, sz_w, dw, w)
+    # starts aligned for Mosaic: sublane (rows) multiple of 8, lane (cols)
+    # multiple of 128; the clamp limits are themselves aligned multiples
+    wy = jnp.clip(
+        jnp.floor(qlo / 8.0) * 8.0, 0.0, float(max((h - WIN_H) // 8 * 8, 0))
+    )
+    wx = jnp.clip(
+        jnp.floor(plo / 128.0) * 128.0,
+        0.0,
+        float(max((w - WIN_W) // 128 * 128, 0)),
+    )
+    fits = ((qhi - wy < WIN_H) & (phi - wx < WIN_W)).astype(jnp.float32)
+
+    cols = [
+        xs, ys, wb, hb, off_x, off_y, zs, ze,
+        com[:, 2], cube[:, 2] / 2.0, sz_w, sz_h, fits, wy, wx,
+    ]
+    if fuse_clamp:
+        from deepprior_tpu.ops.crop import depth_limits
+
+        min_d, max_d = depth_limits(dpt)
+        cols += [min_d, max_d]
+    params = jnp.stack(cols, axis=1)  # (B, 15|17)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -154,6 +240,7 @@ def pallas_normalized_crop(
             out_ref.at[0],
             dsize=dsize,
             norm_zero_one=norm_zero_one,
+            clamp=fuse_clamp,
         )
 
     crop = pl.pallas_call(

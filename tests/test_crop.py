@@ -78,45 +78,6 @@ def test_fused_crop_matches_oracle(nyu_scene):
         np.testing.assert_allclose(np.asarray(m)[i], f.T, rtol=1e-5, atol=1e-3)
 
 
-def test_onehot_banded_window_bitexact(nyu_scene):
-    """The banded fast path (window dynamic-slice + small one-hot matmuls)
-    is bit-identical to the full-frame selection, and the runtime cond
-    falls back when a sample's source band exceeds the window."""
-    import deepprior_tpu.ops.crop as crop_mod
-
-    cam, frames = nyu_scene
-    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
-    com = np.stack([f.com for f in frames])
-    dpt_c, _, _ = clamp_depth(dpt)
-
-    def run(cube_mm):
-        cube = np.array([cube_mm] * 3, np.float32)
-        return np.asarray(
-            jax.jit(
-                lambda d, c: crop3d(d, c, cube, cam.fx, cam.fy, method="onehot")
-            )(dpt_c, com)[0]
-        )
-
-    def run_full(cube_mm):
-        cube = np.array([cube_mm] * 3, np.float32)
-        p, q, zs, ze, ox, oy, sw, sh = crop_mod._onehot_crop_geometry(
-            jnp.asarray(com), jnp.broadcast_to(cube, com.shape),
-            cam.fx, cam.fy, dpt_c.shape[-2:], (128, 128),
-        )
-        d = crop_mod._onehot_select(jnp.asarray(dpt_c), p, q)
-        return np.asarray(
-            crop_mod._crop_epilogue(d, zs, ze, ox, oy, sw, sh, (128, 128))
-        )
-
-    import jax.numpy as jnp
-
-    # 250 mm cube at z>=500 fits the window -> banded branch; a 900 mm cube
-    # (band ~ 900/500*588 px > window) forces the full branch.  Both must
-    # equal the unconditional full-frame selection bit-for-bit.
-    np.testing.assert_array_equal(run(250.0), run_full(250.0))
-    np.testing.assert_array_equal(run(900.0), run_full(900.0))
-
-
 def test_bilinear_onehot_matches_gather(nyu_scene):
     """MXU two-tap selection-matmul bilinear crop == the gather bilinear
     path to f32 round-off (separable vs 4-tap summation order)."""

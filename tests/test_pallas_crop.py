@@ -38,6 +38,43 @@ def test_pallas_crop_matches_jnp(scene):
     assert mismatched < 1e-3, f"{mismatched:.2%} pixels differ"
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-6)
 
+    # a 900 mm cube's source band exceeds the in-VMEM window -> the kernel's
+    # full-frame branch; must agree the same way
+    big = np.array([900.0, 900.0, 900.0], np.float32)
+    ref_b, _ = normalized_crop(dpt, com, big, cam.fx, cam.fy)
+    with pltpu.force_tpu_interpret_mode():
+        out_b, _ = pallas_normalized_crop(dpt, com, big, cam.fx, cam.fy)
+    mismatched = np.mean(np.abs(np.asarray(out_b) - np.asarray(ref_b)) > 1e-4)
+    assert mismatched < 1e-3
+
+
+def test_pallas_fused_clamp(scene):
+    """fuse_clamp=True on the RAW frame == clamp_depth then the plain
+    kernel (the clamp is elementwise; selection is one-hot -> identical)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop
+
+    cam, dpt_clamped, com = scene
+    rng = np.random.default_rng(5)
+    raw = np.array(dpt_clamped)
+    # re-introduce out-of-range pixels the clamp must remove
+    mask = rng.uniform(size=raw.shape) < 0.01
+    raw[mask] = rng.uniform(1600.0, 2500.0, mask.sum())
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+
+    from deepprior_tpu.ops.crop import clamp_depth
+
+    cleaned, _, _ = clamp_depth(raw)
+    with pltpu.force_tpu_interpret_mode():
+        ref, _ = pallas_normalized_crop(
+            np.asarray(cleaned), com, cube, cam.fx, cam.fy
+        )
+        out, _ = pallas_normalized_crop(
+            raw, com, cube, cam.fx, cam.fy, fuse_clamp=True
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
 
 def test_pallas_crop_zero_one(scene):
     from jax.experimental.pallas import tpu as pltpu
