@@ -27,19 +27,41 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     devices=None,
+    slices: int = 1,
 ) -> Mesh:
-    """Build a ('dp', 'tp') mesh over the available devices."""
+    """Build a ('dp', 'tp') mesh — or ('dcn', 'dp', 'tp') with slices > 1.
+
+    Multi-slice pods connect slices over DCN (slow) while chips within a
+    slice ride ICI (fast).  The 'dcn' axis is outermost, so jax.devices()'
+    slice-major ordering maps slices onto it; batches shard over
+    ('dcn', 'dp') jointly and XLA decomposes the gradient all-reduce into
+    an ICI reduce-scatter within each slice plus one small DCN all-reduce
+    across slices (the scaling-book recipe).  tp stays strictly inside a
+    slice — its per-layer collectives must never cross DCN.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    assert n % slices == 0, f"{n} devices not divisible by slices={slices}"
+    per_slice = n // slices
     if dp is None:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"dp*tp={dp * tp} != {n} devices"
+        assert per_slice % tp == 0, \
+            f"{per_slice} devices/slice not divisible by tp={tp}"
+        dp = per_slice // tp
+    assert slices * dp * tp == n, \
+        f"slices*dp*tp={slices * dp * tp} != {n} devices"
+    if slices > 1:
+        arr = np.asarray(devices).reshape(slices, dp, tp)
+        return Mesh(arr, axis_names=("dcn", "dp", "tp"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """The mesh axes the batch/data N dimension shards over."""
+    return ("dcn", "dp") if "dcn" in mesh.axis_names else ("dp",)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -47,8 +69,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading (batch) axis over dp."""
-    return NamedSharding(mesh, P(*(("dp",) + (None,) * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axes (dcn+dp)."""
+    return NamedSharding(mesh, P(*((batch_axes(mesh),) + (None,) * (ndim - 1))))
 
 
 def _is_dense_module(mod: Dict[str, Any]) -> bool:

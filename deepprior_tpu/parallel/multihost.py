@@ -41,14 +41,17 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
-def global_mesh(tp: int = 1):
-    """('dp', 'tp') mesh over every device of every host.
+def global_mesh(tp: int = 1, slices: int = 1):
+    """('dp', 'tp') — or ('dcn', 'dp', 'tp') — mesh over every device of
+    every host.
 
     Inside a host, 'tp' maps to intra-host/ICI-adjacent devices (fast
-    collectives); 'dp' spans the remaining ICI/DCN dimensions — gradient
-    psum rides ICI within a slice and DCN across slices.
+    collectives).  On a multi-slice pod pass slices=n_slices: the batch
+    shards over ('dcn', 'dp') and XLA splits the gradient all-reduce into
+    an in-slice ICI phase plus one cross-slice DCN phase; 'tp' never
+    crosses DCN.
     """
-    return make_mesh(devices=jax.devices(), tp=tp)
+    return make_mesh(devices=jax.devices(), tp=tp, slices=slices)
 
 
 def process_local_batch_slice(global_batch: int) -> slice:

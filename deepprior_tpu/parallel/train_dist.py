@@ -35,13 +35,20 @@ class DistributedTrainer(Trainer):
     ):
         super().__init__(model, cfg, camera, prior=prior)
         self.mesh = mesh
-        if cfg.batch_size % mesh.shape["dp"] != 0:
+        from deepprior_tpu.parallel.mesh import batch_axes
+
+        self._batch_axes = batch_axes(mesh)
+        n_data = 1
+        for ax in self._batch_axes:
+            n_data *= mesh.shape[ax]
+        if cfg.batch_size % n_data != 0:
             raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by dp={mesh.shape['dp']}"
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"data-parallel size {n_data} ({'x'.join(self._batch_axes)})"
             )
 
         def constrain(x):
-            spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+            spec = P(*((self._batch_axes,) + (None,) * (x.ndim - 1)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
         self.shard_batch = constrain
@@ -86,15 +93,17 @@ class DistributedTrainer(Trainer):
             return TrainData(
                 *(jax.device_put(x, replicated(self.mesh)) for x in data)
             )
-        dp = self.mesh.shape["dp"]
+        n_data = 1
+        for ax in self._batch_axes:
+            n_data *= self.mesh.shape[ax]
         n = data.crops.shape[0]
-        pad = (-n) % dp
+        pad = (-n) % n_data
 
         def place(x):
             x = np.asarray(x)
             if pad:
                 x = np.concatenate([x, x[:pad]], axis=0)
-            spec = P(*(("dp",) + (None,) * (x.ndim - 1)))
+            spec = P(*((self._batch_axes,) + (None,) * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return TrainData(*(place(x) for x in data))

@@ -168,3 +168,31 @@ def test_distributed_resnet_batchnorm(dist_setup):
     after = jax.tree.leaves(jax.device_get(state.batch_stats))
     assert np.isfinite(np.asarray(hist["train_cost"])).all()
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_dcn_mesh_matches_single_device_loss(dist_setup):
+    """Multi-slice ('dcn','dp','tp') mesh: batch shards over dcn+dp jointly,
+    tp stays within a slice; the loss trace equals single-device training
+    (same RNG/batches) modulo float reduction order."""
+    cam, data, prior = dist_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=2,
+                      aug_modes=None)
+
+    t1 = Trainer(model, cfg, cam, prior=prior)
+    s1 = t1.init_state(np.asarray(data.crops[:16]))
+    s1, h1 = t1.fit(s1, data, log=lambda m: None)
+
+    mesh = make_mesh(slices=2, dp=2, tp=2)
+    assert mesh.axis_names == ("dcn", "dp", "tp")
+    t2 = DistributedTrainer(model, cfg, cam, mesh, prior=prior)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    d = t2.place_data(data, shard=True)
+    assert d.crops.sharding.spec == P(("dcn", "dp"), None, None)
+    k = s2.params["MLPHead_0"]["Dense_0"]["kernel"]
+    assert k.sharding.spec == P(None, "tp")
+    s2, h2 = t2.fit(s2, d, log=lambda m: None)
+
+    np.testing.assert_allclose(
+        np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
+    )
