@@ -69,6 +69,17 @@ class DistributedTrainer(Trainer):
             step=jnp.zeros((), jnp.int32),
         )
 
+    def stream_put(self, batch: dict) -> dict:
+        """Stage one streamed host batch sharded over the mesh's data axes
+        (used by fit_streamed's DevicePrefetcher): each host batch lands
+        split across the dcn/dp devices, and the step's
+        with_sharding_constraint is then a no-op instead of a reshard."""
+        out = {}
+        for k, v in batch.items():
+            spec = P(*((self._batch_axes,) + (None,) * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
+
     def place_data(self, data: TrainData, shard: bool = False) -> TrainData:
         """Place the training tensors on the mesh.
 

@@ -25,6 +25,9 @@ class DevicePrefetcher:
     device."""
 
     def __init__(self, host_iter: Iterator, depth: int = 2, device=None):
+        """device: a Device/Sharding for jax.device_put, or a callable
+        batch -> staged batch (e.g. a mesh-sharded placement for the
+        distributed trainer)."""
         self._host_iter = host_iter
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._device = device
@@ -35,7 +38,10 @@ class DevicePrefetcher:
     def _worker(self):
         try:
             for batch in self._host_iter:
-                staged = jax.device_put(batch, self._device)
+                if callable(self._device):
+                    staged = self._device(batch)
+                else:
+                    staged = jax.device_put(batch, self._device)
                 self._q.put(staged)
         finally:
             self._q.put(self._done)

@@ -589,6 +589,9 @@ class Trainer:
         it = DevicePrefetcher(
             chunked_epochs(arrays, cfg.batch_size, n_epochs, seed=cfg.seed),
             depth=prefetch_depth,
+            # distributed: stage each batch already sharded over the mesh's
+            # data axes (stream_put) instead of landing it on one device
+            device=getattr(self, "stream_put", None),
         )
         best = (np.inf, None, None, -1)
         t0 = time.time()

@@ -196,3 +196,34 @@ def test_dcn_mesh_matches_single_device_loss(dist_setup):
     np.testing.assert_allclose(
         np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
     )
+
+
+def test_distributed_fit_streamed(dist_setup):
+    """Streamed (>HBM) training under the mesh: batches stage pre-sharded
+    over the data axes; the loss trace equals the single-device streamed
+    run (same chunked_epochs seed -> same batches)."""
+    cam, data, prior = dist_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=2,
+                      aug_modes=None)
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+
+    t1 = Trainer(model, cfg, cam, prior=prior)
+    s1 = t1.init_state(arrays["crops"][:16])
+    s1, h1 = t1.fit_streamed(s1, arrays, log=lambda m: None)
+
+    mesh = make_mesh(dp=4, tp=2)
+    t2 = DistributedTrainer(model, cfg, cam, mesh, prior=prior)
+    s2 = t2.init_state(arrays["crops"][:16])
+    s2, h2 = t2.fit_streamed(s2, arrays, val_data=data, log=lambda m: None)
+
+    np.testing.assert_allclose(
+        np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
+    )
+    assert len(h2["val_error_mm"]) == 2
