@@ -57,9 +57,11 @@ class _Tower(nn.Module):
 class _SharedConvTowers(nn.Module):
     """Scale towers sharing conv *kernels* with per-scale pooling.
 
-    The reference shares whole layers across scales when shapes allow
-    (scalenet.py:179-180); sharing kernels while keeping each scale's
-    pooling schedule preserves the spatial math for every input size.
+    This is exactly the reference's copyLayer semantics: with shared_conv
+    the towers' layers copy only W and b from tower 0
+    (scalenet.py:179-180 -> convpoollayer.py:236-248) while each layer
+    keeps its own cfgParams pooling — so the per-scale pooling schedules
+    (_POOLS) apply unchanged under sharing.
     """
 
     dtype: Any

@@ -1,0 +1,169 @@
+"""Import reference-trained pickle weights into flax params.
+
+The reference saves nets as a pickle dict (netbase.py:405-422):
+  {'class': <name>, 'network': <str>,
+   '<layerNum>-values': [W, b, ...params, ...params_nontrained]}
+with Theano conventions:
+  * conv W is OIHW and theano.conv2d is TRUE convolution (filter_flip=True),
+    so kernels flip spatially and transpose to flax's HWIO;
+  * activations flatten NCHW -> C*H*W row order, while flax flattens
+    NHWC -> H*W*C, so the first Dense after a conv trunk permutes its
+    input rows accordingly;
+  * ConvPoolLayer adds bias before the maxpool; max(x+b) == max(x)+b, so
+    the bias maps unchanged onto our bias-after-pool layers.
+
+Supported: PoseRegNet types 0/11 and ScaleNet type 1 (the reference's
+gzip/raw '.pkl' artifacts, e.g. network_prior.pkl from the main scripts).
+ResNet pickles interleave BatchNorm running stats in params_nontrained and
+are not mapped yet.
+
+Verified by round-trip tests (flax -> reference layout -> flax); Theano is
+not available in this image to cross-check against live reference nets,
+so the two convention notes above are load-bearing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+from typing import Any, Dict, List
+
+import numpy as np
+
+
+def load_reference_pickle(path: str) -> Dict[int, List[np.ndarray]]:
+    """Read a reference NetBase pickle -> {layerNum: [param arrays]}.
+
+    Handles the '.gz' double-format like netbase.py:417 and python-2 era
+    protocol-2 pickles (latin1 numpy decoding).
+    """
+    opener = gzip.open if path.lower().endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        state = pickle.load(fh, encoding="latin1")
+    out: Dict[int, List[np.ndarray]] = {}
+    for key, val in state.items():
+        if not key.endswith("-values"):
+            continue
+        out[int(key.split("-")[0])] = [np.asarray(v) for v in val]
+    return out
+
+
+def _conv_kernel(theano_w: np.ndarray) -> np.ndarray:
+    """OIHW true-convolution filter -> flax HWIO cross-correlation kernel."""
+    return np.ascontiguousarray(
+        theano_w[:, :, ::-1, ::-1].transpose(2, 3, 1, 0)
+    )
+
+
+def _flatten_perm(w: np.ndarray, chw: tuple) -> np.ndarray:
+    """Permute Dense input rows from NCHW-flatten order to NHWC-flatten."""
+    c, h, wd = chw
+    return np.ascontiguousarray(
+        w.reshape(c, h, wd, -1).transpose(1, 2, 0, 3).reshape(c * h * wd, -1)
+    )
+
+
+def poseregnet_params_from_reference(
+    layers: Dict[int, List[np.ndarray]],
+    conv_out_chw: tuple = (8, 11, 11),
+) -> Dict[str, Any]:
+    """Map a PoseRegNet pickle (poseregnet.py:61-101 layer order: 3x
+    ConvPool, then Hidden/Dropout pairs and the final linear(s)) onto
+    models/poseregnet.PoseRegNet's param tree.
+
+    conv_out_chw: the last conv tower output (C, H, W) — (8, 11, 11) for
+    128x128 inputs.  Works for type 0 (3 Dense) and type 11 (4 Dense:
+    30-D bottleneck + decode) — dropout layers carry no params and are
+    skipped by layer number.
+    """
+    convs = [layers[i] for i in (0, 1, 2)]
+    dense_nums = [i for i in sorted(layers) if i >= 3 and layers[i]]
+    denses = [layers[i] for i in dense_nums]
+
+    params: Dict[str, Any] = {}
+    for i, (w, b) in enumerate(convs):
+        params[f"ConvPool_{i}"] = {
+            "Conv_0": {"kernel": _conv_kernel(w), "bias": np.asarray(b)}
+        }
+    head: Dict[str, Any] = {}
+    for i, (w, b) in enumerate(denses):
+        w = np.asarray(w)
+        if i == 0:
+            w = _flatten_perm(w, conv_out_chw)
+        head[f"Dense_{i}"] = {"kernel": w, "bias": np.asarray(b)}
+    params["MLPHead_0"] = head
+    return {"params": params}
+
+
+def scalenet_params_from_reference(
+    layers: Dict[int, List[np.ndarray]],
+    tower_out_chw=((8, 11, 11), (8, 11, 11), (8, 8, 8)),
+) -> Dict[str, Any]:
+    """Map a ScaleNet type-1 pickle (scalenet.py:53-130: numInputs=3 towers
+    of inpConv=3 ConvPool layers, then the FC head over the concatenated
+    tower features) onto models/scalenet.ScaleNet's param tree.
+
+    The first Dense's rows permute per tower block (each tower flattens
+    NCHW independently before the concat, scalenet.py:169-175).
+    """
+    n_towers, inp_conv = 3, 3
+    params: Dict[str, Any] = {}
+    for t in range(n_towers):
+        tower: Dict[str, Any] = {}
+        for j in range(inp_conv):
+            w, b = layers[t * inp_conv + j]
+            tower[f"ConvPool_{j}"] = {
+                "Conv_0": {"kernel": _conv_kernel(w), "bias": np.asarray(b)}
+            }
+        params[f"_Tower_{t}"] = tower
+
+    dense_nums = [
+        i for i in sorted(layers) if i >= n_towers * inp_conv and layers[i]
+    ]
+    head: Dict[str, Any] = {}
+    for i, num in enumerate(dense_nums):
+        w, b = layers[num]
+        w = np.asarray(w)
+        if i == 0:
+            blocks = []
+            s = 0
+            for chw in tower_out_chw:
+                n = int(np.prod(chw))
+                blocks.append(_flatten_perm(w[s : s + n], chw))
+                s += n
+            w = np.concatenate(blocks, axis=0)
+        head[f"Dense_{i}"] = {"kernel": w, "bias": np.asarray(b)}
+    params["MLPHead_0"] = head
+    return {"params": params}
+
+
+def reference_pickle_from_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse mapping (our PoseRegNet params -> reference pickle layout),
+    used by the round-trip tests and to export weights reference-side."""
+    params = variables["params"]
+    state: Dict[str, Any] = {"class": "PoseRegNet", "network": "PoseRegNet"}
+    num = 0
+    for i in range(3):
+        kern = np.asarray(params[f"ConvPool_{i}"]["Conv_0"]["kernel"])
+        w = kern.transpose(3, 2, 0, 1)[:, :, ::-1, ::-1]
+        b = np.asarray(params[f"ConvPool_{i}"]["Conv_0"]["bias"])
+        state[f"{num}-values"] = [np.ascontiguousarray(w), b]
+        num += 1
+    head = params["MLPHead_0"]
+    dense_keys = sorted(head, key=lambda s: int(s.split("_")[1]))
+    for i, k in enumerate(dense_keys):
+        w = np.asarray(head[k]["kernel"])
+        if i == 0:
+            chw = (8, 11, 11)
+            c, h, wd = chw
+            w = (
+                w.reshape(h, wd, c, -1)
+                .transpose(2, 0, 1, 3)
+                .reshape(c * h * wd, -1)
+            )
+        state[f"{num}-values"] = [np.ascontiguousarray(w), np.asarray(head[k]["bias"])]
+        num += 1
+        if i < len(dense_keys) - 1 and i < 2:
+            state[f"{num}-values"] = []  # dropout layer: no params
+            num += 1
+    return state
