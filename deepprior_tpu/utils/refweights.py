@@ -137,6 +137,111 @@ def scalenet_params_from_reference(
     return {"params": params}
 
 
+def resnet_params_from_reference(
+    layers: Dict[int, List[np.ndarray]],
+    cfg=None,
+    eps_ref: float = 1e-4,
+    eps_flax: float = 1e-5,
+    input_hw: int = 128,
+) -> Dict[str, Any]:
+    """Map a ResNet-47 pickle onto models/resnet.ResNet's variables.
+
+    Reference emission order (resnet.py:196-347 + res_block:349-414):
+    stem ConvPool, then per bottleneck block 3x(BN, Nonlinearity, Conv)
+    [+ the 1x1 projection shortcut conv appended last in projection
+    blocks], final BN + Nonlinearity, then the Hidden/Dropout head.
+    Nonlinearity/Dropout layers carry no params (empty '-values').
+
+    BatchNorm pickles store [beta, gamma] + nontrained [mean, inv_std]
+    where inv_std = 1/sqrt(var + eps_ref) (batchnormlayer.py:141-155,
+    eps_ref=1e-4); flax normalizes by sqrt(var' + eps_flax), so
+    var' = inv_std^-2 - eps_flax reproduces the reference normalization
+    exactly.
+
+    Returns {'params': ..., 'batch_stats': ...}.
+    """
+    from deepprior_tpu.models.resnet import ResNetConfig
+
+    if cfg is None:
+        cfg = ResNetConfig()
+
+    nums = sorted(layers)
+    pos = 0
+
+    def take():
+        nonlocal pos
+        while not layers[nums[pos]]:  # skip Nonlinearity/Dropout layers
+            pos += 1
+        vals = layers[nums[pos]]
+        pos += 1
+        return vals
+
+    def conv_entry():
+        w, b = take()
+        return {"kernel": _conv_kernel(np.asarray(w)), "bias": np.asarray(b)}
+
+    def bn_entry():
+        beta, gamma, mean, inv_std = take()
+        var = 1.0 / np.square(np.asarray(inv_std)) - eps_flax
+        return (
+            {"scale": np.asarray(gamma), "bias": np.asarray(beta)},
+            {"mean": np.asarray(mean), "var": var.astype(np.float32)},
+        )
+
+    params: Dict[str, Any] = {"Conv_0": conv_entry()}
+    stats: Dict[str, Any] = {}
+
+    in_ch = cfg.stages[0]
+    bidx = 0
+    for width in cfg.stages[1:]:
+        for _ in range(cfg.blocks_per_stage):
+            identity = in_ch == width
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for j in range(3):
+                bn_p, bn_s = bn_entry()
+                bp[f"BatchNorm_{j}"] = bn_p
+                bs[f"BatchNorm_{j}"] = bn_s
+                bp[f"Conv_{j}"] = conv_entry()
+            if not identity:
+                bp["Conv_3"] = conv_entry()  # projection shortcut
+            params[f"_Bottleneck_{bidx}"] = bp
+            stats[f"_Bottleneck_{bidx}"] = bs
+            in_ch = width
+            bidx += 1
+
+    bn_p, bn_s = bn_entry()
+    params["BatchNorm_0"] = bn_p
+    stats["BatchNorm_0"] = bn_s
+
+    # head: Dense rows of the first FC permute from NCHW- to NHWC-flatten.
+    # Spatial size: stem maxpool halves once; each stage whose first block
+    # takes the projection path halves again (identity blocks ignore the
+    # stride — the reference quirk reproduced in models/resnet.py)
+    n_proj = 0
+    ch = cfg.stages[0]
+    for width in cfg.stages[1:]:
+        if ch != width:
+            n_proj += 1
+        ch = width
+    hw = input_hw // 2 // (2**n_proj)
+    di = 0
+    chw = (cfg.stages[-1], hw, hw)
+    while pos < len(nums):
+        # remaining parameterized layers are the Hidden ones
+        try:
+            w, b = take()
+        except IndexError:
+            break
+        w = np.asarray(w)
+        if di == 0:
+            w = _flatten_perm(w, chw)
+        params[f"Dense_{di}"] = {"kernel": w, "bias": np.asarray(b)}
+        di += 1
+
+    return {"params": params, "batch_stats": stats}
+
+
 def reference_pickle_from_params(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse mapping (our PoseRegNet params -> reference pickle layout),
     used by the round-trip tests and to export weights reference-side."""
