@@ -187,6 +187,10 @@ def make_frame(
     )
 
 
+# sequences at least this long cache to ~/.cache/deepprior_synth
+CACHE_MIN_FRAMES = 4096
+
+
 def make_sequence(
     camera: Camera,
     num_frames: int,
@@ -197,7 +201,37 @@ def make_sequence(
     docom: bool = False,
     keep_full: bool = False,
 ) -> ImageSequence:
-    """A synthetic ImageSequence shaped like an importer's output."""
+    """A synthetic ImageSequence shaped like an importer's output.
+
+    Large sequences (>= 4096 frames, without full-frame extraData) cache
+    to ~/.cache/deepprior_synth keyed by every generation parameter —
+    rendering 49k kinematic hands on the host takes ~25 min, loading the
+    cache seconds (the same npz-cache pattern the importers use).
+    """
+    import os
+
+    cache = None
+    if num_frames >= CACHE_MIN_FRAMES and not keep_full and not os.environ.get(
+        "DEEPPRIOR_NO_SYNTH_CACHE"
+    ):
+        key = (f"{camera.fx:.2f}_{camera.fy:.2f}_{camera.width}x{camera.height}"
+               f"_n{num_frames}_j{num_joints}_c{cube[0]:g}-{cube[1]:g}-"
+               f"{cube[2]:g}_s{seed}_d{int(docom)}")
+        cache = os.path.expanduser(f"~/.cache/deepprior_synth/{key}.npz")
+        if os.path.isfile(cache):
+            z = np.load(cache)
+            frames = [
+                DepthFrame(
+                    dpt=z["dpt"][i], gtorig=z["gtorig"][i],
+                    gtcrop=z["gtcrop"][i], T=z["T"][i],
+                    gt3Dorig=z["gt3Dorig"][i], gt3Dcrop=z["gt3Dcrop"][i],
+                    com=z["com"][i], fileName=f"synth/{name}/{i}",
+                    subSeqName="", side="right", extraData=None,
+                )
+                for i in range(z["dpt"].shape[0])
+            ]
+            return ImageSequence(name=name, data=frames, config={"cube": cube})
+
     rng = np.random.default_rng(seed)
     frames = []
     for _ in range(num_frames):
@@ -205,4 +239,17 @@ def make_sequence(
         if not keep_full:
             f = f._replace(extraData=None)
         frames.append(f)
+
+    if cache:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(
+            cache,
+            dpt=np.stack([f.dpt for f in frames]),
+            gtorig=np.stack([f.gtorig for f in frames]),
+            gtcrop=np.stack([f.gtcrop for f in frames]),
+            T=np.stack([f.T for f in frames]),
+            gt3Dorig=np.stack([f.gt3Dorig for f in frames]),
+            gt3Dcrop=np.stack([f.gt3Dcrop for f in frames]),
+            com=np.stack([f.com for f in frames]),
+        )
     return ImageSequence(name=name, data=frames, config={"cube": cube})

@@ -93,3 +93,27 @@ def test_fit_streamed():
     costs = np.asarray(hist["train_cost"])
     assert np.isfinite(costs).all()
     assert costs[-8:].mean() < costs[:8].mean()
+
+
+def test_synth_sequence_cache(tmp_path, monkeypatch):
+    """Large synthetic sequences round-trip through the npz cache
+    identically (data/synthetic.py::make_sequence caching)."""
+    import deepprior_tpu.data.synthetic as synth
+    from deepprior_tpu.camera import NYU_CAMERA
+
+    monkeypatch.setattr(synth, "CACHE_MIN_FRAMES", 8)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    s1 = synth.make_sequence(NYU_CAMERA, 8, seed=11)
+    import os
+    cdir = tmp_path / ".cache" / "deepprior_synth"
+    assert len(list(cdir.glob("*.npz"))) == 1
+    s2 = synth.make_sequence(NYU_CAMERA, 8, seed=11)
+    import numpy as np
+    for a, b in zip(s1.data, s2.data):
+        np.testing.assert_array_equal(a.dpt, b.dpt)
+        np.testing.assert_array_equal(a.gt3Dcrop, b.gt3Dcrop)
+        np.testing.assert_array_equal(a.T, b.T)
+        np.testing.assert_array_equal(a.com, b.com)
+    # a different seed misses the cache
+    s3 = synth.make_sequence(NYU_CAMERA, 8, seed=12)
+    assert not np.array_equal(s3.data[0].dpt, s1.data[0].dpt)
