@@ -188,7 +188,8 @@ def make_frame(
 
 
 # sequences at least this long cache to ~/.cache/deepprior_synth
-CACHE_MIN_FRAMES = 4096
+# (covers the probe train sets AND their 1/8-sized val/test splits)
+CACHE_MIN_FRAMES = 1024
 
 
 def make_sequence(
@@ -219,16 +220,20 @@ def make_sequence(
                f"{cube[2]:g}_s{seed}_d{int(docom)}")
         cache = os.path.expanduser(f"~/.cache/deepprior_synth/{key}.npz")
         if os.path.isfile(cache):
-            z = np.load(cache)
+            # materialize each array ONCE: NpzFile re-decompresses the whole
+            # member on every __getitem__, so indexing z[k][i] in the loop
+            # would be O(n^2) in both time and allocator churn
+            with np.load(cache) as z:
+                a = {k: z[k] for k in z.files}
             frames = [
                 DepthFrame(
-                    dpt=z["dpt"][i], gtorig=z["gtorig"][i],
-                    gtcrop=z["gtcrop"][i], T=z["T"][i],
-                    gt3Dorig=z["gt3Dorig"][i], gt3Dcrop=z["gt3Dcrop"][i],
-                    com=z["com"][i], fileName=f"synth/{name}/{i}",
+                    dpt=a["dpt"][i], gtorig=a["gtorig"][i],
+                    gtcrop=a["gtcrop"][i], T=a["T"][i],
+                    gt3Dorig=a["gt3Dorig"][i], gt3Dcrop=a["gt3Dcrop"][i],
+                    com=a["com"][i], fileName=f"synth/{name}/{i}",
                     subSeqName="", side="right", extraData=None,
                 )
-                for i in range(z["dpt"].shape[0])
+                for i in range(a["dpt"].shape[0])
             ]
             return ImageSequence(name=name, data=frames, config={"cube": cube})
 

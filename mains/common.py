@@ -33,6 +33,34 @@ import jax as _jax
 _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
+def require_accelerator(retries: int = 30, wait_s: float = 10.0):
+    """Fail loudly (after retrying) if the accelerator backend silently
+    fell back to CPU.
+
+    The axon PJRT plugin registers in every interpreter but hands the one
+    TPU to a single process; a second process quietly gets the CPU
+    backend and a 100-epoch 'TPU' run then grinds (or OOMs) on host
+    cores.  Called by the mains whenever JAX_PLATFORMS was not explicitly
+    set to cpu.
+    """
+    import time
+
+    for attempt in range(retries):
+        if _jax.default_backend() != "cpu":
+            return
+        if attempt == 0:
+            print("accelerator busy/unavailable; waiting for it...",
+                  flush=True)
+        time.sleep(wait_s)
+        # re-resolving requires a fresh backend lookup; jax caches the
+        # failure, so clear it
+        _jax.clear_backends()
+    raise RuntimeError(
+        "no accelerator available (default backend is cpu); refusing to "
+        "train on host silently — set JAX_PLATFORMS=cpu to force CPU"
+    )
+
+
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("--data", default=None, help="dataset base path")
@@ -47,6 +75,15 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--eval-prefix", default=None)
     p.add_argument("--out", default="./eval")
     p.add_argument("--aug-modes", nargs="*", default=["com", "rot", "none"])
+    p.add_argument("--resnet-type", type=int, default=2,
+                   help="reference ResNet head type 0-4 (resnet.py:119-195);"
+                        " 2 = dropout head (default), 1 = plain head "
+                        "(pair with --weightreg, the reference's recipe for "
+                        "dropout-less nets)")
+    p.add_argument("--weightreg", type=float, default=0.0,
+                   help="L2 weight-decay factor; > 0 forces decay on even "
+                        "for dropout models (the reference gates decay on "
+                        "not-having-dropout, nettrainer.py:820-828)")
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
@@ -114,26 +151,44 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     outdir = os.path.join(args.out, prefix)
     os.makedirs(outdir, exist_ok=True)
 
+    if not _plat:
+        require_accelerator()
+    import jax
+
+    print(f"[{time.strftime('%H:%M:%S')}] backend={jax.default_backend()} "
+          f"loading data...", flush=True)
     train, tests = load_or_synthesize(
         args, importer_cls, camera, train_seq, test_seqs, num_joints
     )
     data = TrainData.from_sequence(train)
     val = TrainData.from_sequence(tests[0]) if tests else None
 
+    print(f"[{time.strftime('%H:%M:%S')}] {data.crops.shape[0]} train frames;"
+          " fitting pose prior...", flush=True)
     rng = np.random.default_rng(args.seed)
     n_poses = 1_000_000 if not args.synthetic else 50_000
     prior = fit_pose_prior(
         camera, rng, data.gt3d_crop, data.com, data.cube,
         n_components=n_pca, num_poses=n_poses, aug_modes=tuple(args.aug_modes),
     )
+    print(f"[{time.strftime('%H:%M:%S')}] prior ready; training...",
+          flush=True)
 
+    has_dropout = True
     if getattr(args, "model", "poseregnet") == "resnet":
-        model = ResNet(ResNetConfig(num_joints=1, n_dims=n_pca, dropout=True))
+        rtype = getattr(args, "resnet_type", 2)
+        has_dropout = rtype in (2, 3, 4)
+        model = ResNet(
+            ResNetConfig(num_joints=1, n_dims=n_pca, dropout=has_dropout)
+        )
     else:
         model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=n_pca))
+    wr = getattr(args, "weightreg", 0.0)
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr,
         n_epochs=args.epochs, aug_modes=tuple(args.aug_modes), seed=args.seed,
+        weightreg_factor=wr,
+        model_has_dropout=has_dropout and wr <= 0.0,
     )
     trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp, tp=args.tp)
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
@@ -208,6 +263,8 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
     outdir = os.path.join(args.out, prefix)
     os.makedirs(outdir, exist_ok=True)
 
+    if not _plat:
+        require_accelerator()
     train, tests = load_or_synthesize(
         args, importer_cls, camera, train_seq, test_seqs, num_joints, docom=True
     )
