@@ -126,11 +126,16 @@ def _error_from_targets(out, y):
 
 
 def _l2_penalty(params):
-    # the reference regularizes kernels only (poseNet.weights), not biases
+    # the reference regularizes conv/hidden W only (each layer's `weights`
+    # list: convpoollayer.py:288, hiddenlayer.py:159) — never biases and
+    # never BatchNorm parameters (batchnormlayer.py:146 contributes []).
+    # Decaying BN gamma is actively harmful: BN re-normalizes, so gamma
+    # shrinkage compounds into oscillating effective learning rates
+    # (observed as 6->44 mm val swings on the 49k probe).
     total = 0.0
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
-        if name in ("kernel", "scale"):
+        if name == "kernel":
             total = total + jnp.sum(jnp.square(leaf))
     return total
 

@@ -277,3 +277,20 @@ def test_nan_guard(toy_setup):
     state = trainer.init_state(np.asarray(data.crops[:16]))
     with pytest.raises(FloatingPointError):
         trainer.fit(state, data, log=lambda m: None)
+
+
+def test_l2_penalty_excludes_batchnorm():
+    """Weight decay covers conv/hidden kernels only — the reference's BN
+    layers contribute no decay weights (batchnormlayer.py:146), and
+    decaying BN gamma destabilizes training."""
+    import jax.numpy as jnp
+
+    from deepprior_tpu.train.trainer import _l2_penalty
+
+    params = {
+        "Conv_0": {"kernel": jnp.full((2, 2), 2.0), "bias": jnp.ones(2)},
+        "BatchNorm_0": {"scale": jnp.full((4,), 3.0), "bias": jnp.ones(4)},
+        "Dense_0": {"kernel": jnp.full((3,), 1.0), "bias": jnp.ones(3)},
+    }
+    # 4 * 2^2 (conv) + 3 * 1^2 (dense); no bias, no BN gamma
+    assert float(_l2_penalty(params)) == 16.0 + 3.0
