@@ -87,8 +87,6 @@ class TrainData(NamedTuple):
     def from_sequence(cls, seq, normalize=True, norm_zero_one=False):
         """Stack an ImageSequence the way Dataset.imgStackDepthOnly does
         (reference dataset.py:72-111), keeping aux tensors for augmentation."""
-        from deepprior_tpu.ops.crop import normalize_crop
-
         crops = np.stack([f.dpt for f in seq.data]).astype(np.float32)
         com = np.stack([f.com for f in seq.data]).astype(np.float32)
         cube = np.broadcast_to(
@@ -97,9 +95,17 @@ class TrainData(NamedTuple):
         m = np.stack([f.T for f in seq.data]).astype(np.float32)
         gt3d = np.stack([f.gt3Dcrop for f in seq.data]).astype(np.float32)
         if normalize:
-            crops = np.asarray(
-                normalize_crop(crops, com[:, 2], cube[:, 2], norm_zero_one)
-            )
+            # numpy twin of ops.crop.normalize_crop (identical math, same
+            # f32 ops): normalizing GBs of crops on device would ship them
+            # through the host<->device link twice for an elementwise op
+            com_z = com[:, 2][:, None, None]
+            cube_z = cube[:, 2][:, None, None]
+            d = np.where(crops == 0.0, com_z + cube_z / 2.0, crops)
+            if norm_zero_one:
+                crops = (d - (com_z - cube_z / 2.0)) / cube_z
+            else:
+                crops = (d - com_z) / (cube_z / 2.0)
+            crops = crops.astype(np.float32)
         return cls(crops, gt3d, com, cube, m)
 
     @property
