@@ -44,7 +44,7 @@ WIN_W = 512  # window start lane-aligned (multiple of 128) -> extra slack
 
 
 def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
-                 clamp=False, band_block=False, rows_ref=None):
+                 clamp=False, band_block=False):
     """params_ref: (B, 15|17) scalar-prefetch rows [xstart, ystart, wb, hb,
     off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h, fits, wy, wx
     (, min_d, max_d when clamp)].
@@ -52,10 +52,11 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
     band_block=True means dpt_ref is already the per-sample window (the
     pipeline DMA'd only the (WIN_H, WIN_W) band at elementwise offsets
     (wy, wx)) — every sample must fit; the caller cond-dispatches.
-    rows_ref (band only): (dh, WIN_W) VMEM scratch enabling the row-loop
-    gather — the row selection becomes dh dynamic sublane copies on the
-    VPU instead of a HIGHEST one-hot matmul (which is ~75% of the
-    kernel's MXU work); only the cross-lane column gather stays a matmul."""
+
+    A row-loop gather variant (dh dynamic sublane copies replacing the
+    HIGHEST row matmul) measured 3.5x SLOWER on TPU (11.4 vs 3.3 ms per
+    1024 frames) — Mosaic's per-iteration dynamic sublane slicing costs
+    far more than the MXU passes it saves; it was removed."""
     i = pl.program_id(0)
     dw, dh = dsize
     h, w = dpt_ref.shape
@@ -139,35 +140,7 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
             return (d - (com_z - cube_half)) / (2.0 * cube_half)
         return (d - com_z) / cube_half
 
-    if band_block and rows_ref is not None:
-        # row gather as dh dynamic sublane copies into the scratch
-        def body(vv, carry):
-            vf = vv.astype(jnp.float32)
-            q_abs = ystart + _exact_floor_div((vf - off_y) * hb, sz_h)
-            q_rel = (q_abs - wy).astype(jnp.int32)
-            valid = jnp.logical_and(q_rel >= 0, q_rel < WIN_H)
-            qc = jnp.clip(q_rel, 0, WIN_H - 1)
-            row = dpt_ref[pl.ds(qc, 1), :]
-            if clamp:
-                keep = (row >= min_d) & (row <= max_d)
-                row = jnp.where(keep, row, 0.0)
-            rows_ref[pl.ds(vv, 1), :] = jnp.where(valid, row, 0.0)
-            return carry
-
-        jax.lax.fori_loop(0, dh, body, 0)
-        p_rel = p - wx
-        ww = jax.lax.broadcasted_iota(
-            jnp.int32, (dw, WIN_W), 1
-        ).astype(jnp.float32)
-        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.float32)
-        d = jax.lax.dot_general(
-            rows_ref[:, :], colsel,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[:, :] = epilogue(d)
-    elif band_block:
+    if band_block:
         # dpt_ref IS the per-sample (WIN_H, WIN_W) window — the pipeline
         # DMA'd only the band (pl.Element offsets from scalar prefetch)
         out_ref[:, :] = epilogue(select(dpt_ref[:, :], p - wx, q - wy))
@@ -190,9 +163,7 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "fx", "fy", "dsize", "norm_zero_one", "fuse_clamp", "band_rows"
-    ),
+    static_argnames=("fx", "fy", "dsize", "norm_zero_one", "fuse_clamp"),
 )
 def pallas_normalized_crop(
     dpt,
@@ -203,7 +174,6 @@ def pallas_normalized_crop(
     dsize: Tuple[int, int] = (128, 128),
     norm_zero_one: bool = False,
     fuse_clamp: bool = False,
-    band_rows: str = "matmul",
 ):
     """Drop-in fast path for ops.crop.normalized_crop (same outputs).
 
@@ -284,18 +254,14 @@ def pallas_normalized_crop(
             )
         else:
             in_spec = pl.BlockSpec((1, h, w), lambda i, prm: (i, 0, 0))
-        loop = band and band_rows == "loop"
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
             in_specs=[in_spec],
             out_specs=pl.BlockSpec((1, dh, dw), lambda i, prm: (i, 0, 0)),
-            scratch_shapes=(
-                [pltpu.VMEM((dh, WIN_W), jnp.float32)] if loop else []
-            ),
         )
 
-        def kernel(params_ref, dpt_ref, out_ref, *scratch):
+        def kernel(params_ref, dpt_ref, out_ref):
             _crop_kernel(
                 params_ref,
                 dpt_ref if band else dpt_ref.at[0],
@@ -304,7 +270,6 @@ def pallas_normalized_crop(
                 norm_zero_one=norm_zero_one,
                 clamp=fuse_clamp,
                 band_block=band,
-                rows_ref=scratch[0] if loop else None,
             )
 
         return pl.pallas_call(

@@ -48,23 +48,6 @@ def test_pallas_crop_matches_jnp(scene):
     assert mismatched < 1e-3
 
 
-def test_pallas_band_row_modes_agree(scene):
-    """The band kernel's two row-gather implementations — dh dynamic
-    sublane copies (loop) vs the HIGHEST one-hot matmul — are bit-equal."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop
-
-    cam, dpt, com = scene
-    cube = np.array([250.0, 250.0, 250.0], np.float32)
-    with pltpu.force_tpu_interpret_mode():
-        a, _ = pallas_normalized_crop(dpt, com, cube, cam.fx, cam.fy,
-                                      band_rows="loop")
-        b, _ = pallas_normalized_crop(dpt, com, cube, cam.fx, cam.fy,
-                                      band_rows="matmul")
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 def test_pallas_fused_clamp(scene):
     """fuse_clamp=True on the RAW frame == clamp_depth then the plain
     kernel (the clamp is elementwise; selection is one-hot -> identical)."""
