@@ -12,8 +12,13 @@ Conventions
 Image coordinates are (u, v, d): u = column (x), v = row (y), d = depth in mm.
 World coordinates are (x, y, z) in mm, camera-centered.
 
-`flip_y=True` encodes the MSRA15 camera, where the projection inverts the
-vertical axis:  v = uy - y/z*fy  (importers.py:781-793).
+`flip_y=True` encodes cameras whose projection inverts the vertical
+axis:  v = uy - y/z*fy.  That is MSRA15 (importers.py:781-793) AND NYU
+(importers.py:1187-1224 flip y in both jointImgTo3D and joint3DToImg —
+the joint_data.mat 3D labels are y-up).  Only ICVL keeps v = y/z*fy+uy.
+Note the reference NYUImporter inherits the base getCameraIntrinsics
+(+fy, importers.py:135-146) despite its flipped projection; our
+`intrinsics()` is self-consistent (-fy when flip_y) — deviation documented.
 """
 
 from __future__ import annotations
@@ -155,7 +160,9 @@ class Camera(NamedTuple):
         else:
             pts = pts[:, :2]
         uvd = np.column_stack([pts, d])
-        return np.asarray(self.img_to_3d(uvd))
+        # host twin, not img_to_3d: an eager jnp op here is a per-call
+        # device round trip on remote-device (axon-tunnel) setups
+        return self.img_to_3d_np(uvd)
 
 
 # Dataset camera presets (reference importers.py:199, 553, 891).
@@ -163,6 +170,8 @@ ICVL_CAMERA = Camera(fx=241.42, fy=241.42, ux=160.0, uy=120.0, width=320, height
 MSRA15_CAMERA = Camera(
     fx=241.42, fy=241.42, ux=160.0, uy=120.0, flip_y=True, width=320, height=240
 )
-NYU_CAMERA = Camera(fx=588.03, fy=587.07, ux=320.0, uy=240.0, width=640, height=480)
+NYU_CAMERA = Camera(
+    fx=588.03, fy=587.07, ux=320.0, uy=240.0, flip_y=True, width=640, height=480
+)
 
 CAMERAS = {"icvl": ICVL_CAMERA, "msra15": MSRA15_CAMERA, "nyu": NYU_CAMERA}

@@ -8,9 +8,12 @@
 //   * a module surface start/stop/getDepthMap/getIntrinsics/getAcceleration
 //     (depthsense.cxx:203-223).
 //
-// This shim reproduces that contract hardware-free: a std::thread capture
-// loop (in-process; the reference used fork+mmap because of the SDK's event
-// loop) with two selectable backends:
+// This shim reproduces that contract hardware-free — but with a seqlock
+// (two generation-counted slots, depth+colour published together) instead
+// of the reference's bare pointer swap, which can tear when the writer
+// laps a slow reader and can pair mismatched depth/colour generations.
+// A std::thread capture loop (in-process; the reference used fork+mmap
+// because of the SDK's event loop) with two selectable backends:
 //   * "synthetic": renders a moving-blob hand scene (deterministic),
 //   * "file":      replays raw float32 frames from a binary file whose
 //                  layout is [int32 h, int32 w, int32 n, float32 data...].
@@ -31,12 +34,16 @@
 
 namespace {
 
-struct FrameBuffer {
-  std::vector<float> data;
-};
-
-struct ColourBuffer {
-  std::vector<uint8_t> data;
+// A publication slot carrying a depth frame and its colour frame under ONE
+// generation counter (seqlock): even seq = stable, odd = being written.
+// Readers validate seq before AND after copying, so a slow reader that the
+// writer laps simply retries on the newer slot — no torn frames, and depth
+// + colour always pair up (the reference's double buffer could hand
+// ds_get_sync a new depth frame with the previous colour frame).
+struct Slot {
+  std::atomic<uint64_t> seq{0};
+  std::vector<float> depth;
+  std::vector<uint8_t> colour;
 };
 
 struct CaptureState {
@@ -56,16 +63,9 @@ struct CaptureState {
                           0, 1, 0, 0,
                           0, 0, 1, 0};
 
-  // double buffer + atomic swap: writer fills the back buffer, then
-  // publishes it by swapping the front pointer (same scheme as the
-  // reference's onNewDepthSample handler)
-  FrameBuffer buffers[2];
-  std::atomic<FrameBuffer*> front{nullptr};
-  FrameBuffer* back = nullptr;
-
-  ColourBuffer cbuffers[2];
-  std::atomic<ColourBuffer*> cfront{nullptr};
-  ColourBuffer* cback = nullptr;
+  // two seqlock slots; `latest` indexes the most recently published one
+  Slot slots[2];
+  std::atomic<int> latest{-1};
 
   std::atomic<long long> frame_counter{0};
   std::atomic<long long> cframe_counter{0};
@@ -206,7 +206,13 @@ void capture_loop(CaptureState* s) {
   auto next = clock::now();
   while (s->running.load(std::memory_order_acquire)) {
     const long long t = s->frame_counter.load(std::memory_order_relaxed);
-    float* dst = s->back->data.data();
+    Slot& slot = s->slots[t & 1];
+
+    // seqlock write: odd seq marks the slot in-flight
+    slot.seq.fetch_add(1, std::memory_order_relaxed);
+    std::atomic_thread_fence(std::memory_order_release);
+
+    float* dst = slot.depth.data();
     if (s->mode == "file" && s->file_n > 0) {
       const size_t frame_px = static_cast<size_t>(s->height) * s->width;
       const float* src = s->file_frames.data() + (t % s->file_n) * frame_px;
@@ -214,22 +220,40 @@ void capture_loop(CaptureState* s) {
     } else {
       render_synthetic(*s, dst, t);
     }
-    // colour stream: splat the fresh depth frame through the extrinsics
-    render_colour_from_depth(*s, dst, s->cback->data.data());
+    // colour stream: splat the fresh depth frame through the extrinsics —
+    // written into the SAME slot so the pair publishes atomically
+    render_colour_from_depth(*s, dst, slot.colour.data());
 
-    // publish: swap front/back (readers snapshot the front pointer and
-    // memcpy out under no lock; the writer never touches a published
-    // buffer until the next swap, and readers copy immediately)
-    FrameBuffer* published = s->back;
-    s->back = s->front.exchange(published, std::memory_order_acq_rel);
+    slot.seq.fetch_add(1, std::memory_order_release);
+    s->latest.store(static_cast<int>(t & 1), std::memory_order_release);
     s->frame_counter.fetch_add(1, std::memory_order_release);
-    ColourBuffer* cpublished = s->cback;
-    s->cback = s->cfront.exchange(cpublished, std::memory_order_acq_rel);
     s->cframe_counter.fetch_add(1, std::memory_order_release);
 
     next += std::chrono::duration_cast<clock::duration>(period);
     std::this_thread::sleep_until(next);
   }
+}
+
+// Copy a consistent (depth, colour) snapshot out of the newest slot.
+// Either destination may be null.  Returns false only if nothing has been
+// published yet (or after ~1000 laps, which at 30 fps cannot happen unless
+// the process is wedged).
+bool read_snapshot(CaptureState& s, float* depth_out, uint8_t* colour_out) {
+  for (int attempt = 0; attempt < 1000; ++attempt) {
+    const int i = s.latest.load(std::memory_order_acquire);
+    if (i < 0) return false;
+    Slot& slot = s.slots[i];
+    const uint64_t s1 = slot.seq.load(std::memory_order_acquire);
+    if (s1 & 1) continue;  // writer mid-flight on this slot; re-resolve
+    if (depth_out)
+      std::memcpy(depth_out, slot.depth.data(),
+                  slot.depth.size() * sizeof(float));
+    if (colour_out)
+      std::memcpy(colour_out, slot.colour.data(), slot.colour.size());
+    std::atomic_thread_fence(std::memory_order_acquire);
+    if (slot.seq.load(std::memory_order_relaxed) == s1) return true;
+  }
+  return false;
 }
 
 }  // namespace
@@ -250,16 +274,12 @@ int ds_start(const char* mode, const char* source, double fps) {
     }
   }
   const size_t px = static_cast<size_t>(g_state->width) * g_state->height;
-  g_state->buffers[0].data.assign(px, 0.0f);
-  g_state->buffers[1].data.assign(px, 0.0f);
-  g_state->front.store(&g_state->buffers[0]);
-  g_state->back = &g_state->buffers[1];
   const size_t cpx =
       static_cast<size_t>(g_state->cwidth) * g_state->cheight * 3;
-  g_state->cbuffers[0].data.assign(cpx, 0);
-  g_state->cbuffers[1].data.assign(cpx, 0);
-  g_state->cfront.store(&g_state->cbuffers[0]);
-  g_state->cback = &g_state->cbuffers[1];
+  for (Slot& slot : g_state->slots) {
+    slot.depth.assign(px, 0.0f);
+    slot.colour.assign(cpx, 0);
+  }
   g_state->running.store(true, std::memory_order_release);
   g_state->worker = std::thread(capture_loop, g_state);
   return 0;
@@ -275,10 +295,7 @@ int ds_get_depth(float* out, int capacity) {
   if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
   const int px = g_state->width * g_state->height;
   if (capacity < px) return 0;
-  if (g_state->frame_counter.load(std::memory_order_acquire) == 0) return 0;
-  FrameBuffer* fb = g_state->front.load(std::memory_order_acquire);
-  std::memcpy(out, fb->data.data(), static_cast<size_t>(px) * sizeof(float));
-  return 1;
+  return read_snapshot(*g_state, out, nullptr) ? 1 : 0;
 }
 
 int ds_depth_width(void) { return g_state ? g_state->width : 0; }
@@ -315,10 +332,7 @@ int ds_get_colour(uint8_t* out, int capacity) {
   if (!g_state || !g_state->running.load(std::memory_order_acquire)) return 0;
   const int n = g_state->cwidth * g_state->cheight * 3;
   if (capacity < n) return 0;
-  if (g_state->cframe_counter.load(std::memory_order_acquire) == 0) return 0;
-  ColourBuffer* fb = g_state->cfront.load(std::memory_order_acquire);
-  std::memcpy(out, fb->data.data(), static_cast<size_t>(n));
-  return 1;
+  return read_snapshot(*g_state, nullptr, out) ? 1 : 0;
 }
 
 // (dH, dW, 3) vertex map in depth-camera mm; int16 variant saturates like
@@ -328,9 +342,9 @@ int ds_get_vertices_fp(float* out, int capacity) {
   CaptureState& s = *g_state;
   const int n = s.width * s.height * 3;
   if (capacity < n) return 0;
-  if (s.frame_counter.load(std::memory_order_acquire) == 0) return 0;
-  FrameBuffer* fb = s.front.load(std::memory_order_acquire);
-  const float* depth = fb->data.data();
+  std::vector<float> snap(static_cast<size_t>(s.width) * s.height);
+  if (!read_snapshot(s, snap.data(), nullptr)) return 0;
+  const float* depth = snap.data();
   for (int v = 0; v < s.height; ++v) {
     for (int u = 0; u < s.width; ++u) {
       const float d = depth[v * s.width + u];
@@ -365,9 +379,9 @@ int ds_get_uv(float* out, int capacity) {
   CaptureState& s = *g_state;
   const int n = s.width * s.height * 2;
   if (capacity < n) return 0;
-  if (s.frame_counter.load(std::memory_order_acquire) == 0) return 0;
-  FrameBuffer* fb = s.front.load(std::memory_order_acquire);
-  compute_uv(s, fb->data.data(), out);
+  std::vector<float> snap(static_cast<size_t>(s.width) * s.height);
+  if (!read_snapshot(s, snap.data(), nullptr)) return 0;
+  compute_uv(s, snap.data(), out);
   return 1;
 }
 
@@ -379,13 +393,12 @@ int ds_get_sync(uint8_t* out, int capacity) {
   CaptureState& s = *g_state;
   const int n = s.width * s.height * 3;
   if (capacity < n) return 0;
-  if (s.frame_counter.load(std::memory_order_acquire) == 0 ||
-      s.cframe_counter.load(std::memory_order_acquire) == 0)
-    return 0;
-  FrameBuffer* dfb = s.front.load(std::memory_order_acquire);
-  ColourBuffer* cfb = s.cfront.load(std::memory_order_acquire);
-  const float* depth = dfb->data.data();
-  const uint8_t* colour = cfb->data.data();
+  // one snapshot -> depth and colour are from the SAME capture generation
+  std::vector<float> dsnap(static_cast<size_t>(s.width) * s.height);
+  std::vector<uint8_t> csnap(static_cast<size_t>(s.cwidth) * s.cheight * 3);
+  if (!read_snapshot(s, dsnap.data(), csnap.data())) return 0;
+  const float* depth = dsnap.data();
+  const uint8_t* colour = csnap.data();
   std::vector<float> uv(static_cast<size_t>(s.width) * s.height * 2);
   compute_uv(s, depth, uv.data());
   for (int i = 0; i < s.width * s.height; ++i) {

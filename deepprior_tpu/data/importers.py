@@ -329,6 +329,11 @@ class ICVLImporter(DepthImporter):
         dsize=(128, 128),
         device_crop: bool = False,
     ) -> ImageSequence:
+        if self.hand is not None and self.hand != self.sides[seq_name]:
+            # the reference has no ICVL mirroring path (importers.py:366-367)
+            raise NotImplementedError(
+                f"ICVL sequences are {self.sides[seq_name]}-hand only"
+            )
         config = {"cube": cube if cube is not None else self.default_cubes[seq_name]}
         extra = "_" + "".join(subSeq) if subSeq else ""
         cache = self._cache_path(seq_name, docom, config["cube"], extra)
@@ -474,6 +479,11 @@ class NYUImporter(DepthImporter):
     ) -> ImageSequence:
         import scipy.io
 
+        if self.hand is not None and self.hand != self.sides[seq_name]:
+            # the reference has no NYU mirroring path (importers.py:1007-1008)
+            raise NotImplementedError(
+                f"NYU sequences are {self.sides[seq_name]}-hand only"
+            )
         config = {"cube": cube if cube is not None else self.default_cubes[seq_name]}
         cache = self._cache_path(
             seq_name, docom, config["cube"], extra=f"_{self.all_joints}"
@@ -531,6 +541,7 @@ class NYUImporter(DepthImporter):
             joints = mat["pred_joint_uvconf"][0]
             names = mat["conv_joint_names"][0]
             nj = names.shape[0]
+            self.num_joints = nj  # reference side effect (importers.py:1091)
             base = os.path.split(filename)[0]
             out = []
             for dat in range(min(joints.shape[0], gt.shape[0])):
@@ -576,6 +587,9 @@ class NYUImporter(DepthImporter):
         names = mat["conv_joint_names"][0]
         joints = mat["pred_joint_uvconf"][0]
         nj = names.shape[0]
+        # reference side effect (importers.py:1158): downstream code reads
+        # the joint count off the importer after loading baselines
+        self.num_joints = nj
         out = []
         for dat in range(joints.shape[0]):
             ev = np.zeros((nj, 2), np.float32)

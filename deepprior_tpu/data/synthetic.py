@@ -204,7 +204,7 @@ def make_sequence(
 ) -> ImageSequence:
     """A synthetic ImageSequence shaped like an importer's output.
 
-    Large sequences (>= 4096 frames, without full-frame extraData) cache
+    Large sequences (>= CACHE_MIN_FRAMES, without full-frame extraData) cache
     to ~/.cache/deepprior_synth keyed by every generation parameter —
     rendering 49k kinematic hands on the host takes ~25 min, loading the
     cache seconds (the same npz-cache pattern the importers use).
@@ -216,6 +216,7 @@ def make_sequence(
         "DEEPPRIOR_NO_SYNTH_CACHE"
     ):
         key = (f"{camera.fx:.2f}_{camera.fy:.2f}_{camera.width}x{camera.height}"
+               f"{'_flip' if camera.flip_y else ''}"
                f"_n{num_frames}_j{num_joints}_c{cube[0]:g}-{cube[1]:g}-"
                f"{cube[2]:g}_s{seed}_d{int(docom)}")
         cache = os.path.expanduser(f"~/.cache/deepprior_synth/{key}.npz")
@@ -247,8 +248,11 @@ def make_sequence(
 
     if cache:
         os.makedirs(os.path.dirname(cache), exist_ok=True)
+        # write-then-rename: a concurrent or interrupted run must never
+        # leave a truncated npz for a later np.load to crash on
+        tmp = f"{cache}.tmp.{os.getpid()}"
         np.savez_compressed(
-            cache,
+            tmp,
             dpt=np.stack([f.dpt for f in frames]),
             gtorig=np.stack([f.gtorig for f in frames]),
             gtcrop=np.stack([f.gtcrop for f in frames]),
@@ -257,4 +261,6 @@ def make_sequence(
             gt3Dcrop=np.stack([f.gt3Dcrop for f in frames]),
             com=np.stack([f.com for f in frames]),
         )
+        # savez appends .npz when missing; the tmp name has no .npz suffix
+        os.replace(f"{tmp}.npz", cache)
     return ImageSequence(name=name, data=frames, config={"cube": cube})

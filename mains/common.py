@@ -33,6 +33,23 @@ import jax as _jax
 _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
+def _clear_backends():
+    """Best-effort backend-cache reset across JAX versions: the public
+    `jax.clear_backends` was removed (absent in 0.9), its replacement has
+    moved between `jax.extend.backend` and `jax._src.xla_bridge`."""
+    for get in (
+        lambda: __import__("jax.extend.backend", fromlist=["x"]).clear_backends,
+        lambda: _jax.clear_backends,
+        lambda: __import__("jax._src.xla_bridge", fromlist=["x"])._clear_backends,
+    ):
+        try:
+            fn = get()
+        except (AttributeError, ImportError):
+            continue
+        fn()
+        return
+
+
 def require_accelerator(retries: int = 30, wait_s: float = 10.0):
     """Fail loudly (after retrying) if the accelerator backend silently
     fell back to CPU.
@@ -53,8 +70,8 @@ def require_accelerator(retries: int = 30, wait_s: float = 10.0):
                   flush=True)
         time.sleep(wait_s)
         # re-resolving requires a fresh backend lookup; jax caches the
-        # failure, so clear it
-        _jax.clear_backends()
+        # failure, so clear it (the API moved across JAX versions)
+        _clear_backends()
     raise RuntimeError(
         "no accelerator available (default backend is cpu); refusing to "
         "train on host silently — set JAX_PLATFORMS=cpu to force CPU"

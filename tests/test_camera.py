@@ -40,6 +40,10 @@ def test_golden_nyu():
     # one pixel right of center: x = 1 * 750 / 588.03
     out = np.asarray(NYU_CAMERA.img_to_3d(np.array([321.0, 240.0, 750.0])))
     np.testing.assert_allclose(out[0], 750.0 / 588.03, rtol=1e-6)
+    # NYU flips y like MSRA (reference importers.py:1187-1195): one pixel
+    # BELOW center (larger v) is NEGATIVE metric y
+    out = np.asarray(NYU_CAMERA.img_to_3d(np.array([320.0, 241.0, 750.0])))
+    np.testing.assert_allclose(out[1], -750.0 / 587.07, rtol=1e-6)
 
 
 def test_msra_inverted_y():
@@ -73,7 +77,9 @@ def test_batched_and_jit():
 def test_intrinsics_matrix():
     k = np.asarray(NYU_CAMERA.intrinsics())
     assert k[0, 0] == pytest.approx(588.03)
-    assert k[1, 1] == pytest.approx(587.07)
+    # self-consistent with the flipped projection (the reference NYU class
+    # inconsistently inherits +fy intrinsics; see camera.py module doc)
+    assert k[1, 1] == pytest.approx(-587.07)
     assert k[0, 2] == 320.0 and k[1, 2] == 240.0
     km = np.asarray(MSRA15_CAMERA.intrinsics())
     assert km[1, 1] == pytest.approx(-241.42)
