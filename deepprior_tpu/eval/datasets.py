@@ -8,11 +8,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from deepprior_tpu.camera import ICVL_CAMERA, MSRA15_CAMERA, NYU_CAMERA
 from deepprior_tpu.eval.metrics import HandposeEvaluation
 
 
 class ICVLHandposeEvaluation(HandposeEvaluation):
     """16 joints (handpose_evaluation.py:684-760)."""
+
+    camera = ICVL_CAMERA
 
     joint_names = [
         "C", "T1", "T2", "T3", "I1", "I2", "I3", "M1", "M2", "M3",
@@ -29,6 +32,7 @@ class NYUHandposeEvaluation(HandposeEvaluation):
     """NYU: 'eval' = the standard 14-joint subset, 'all' = 36 joints
     (handpose_evaluation.py:763-860)."""
 
+    camera = NYU_CAMERA
     fps = 25.0
 
     EVAL_JOINT_NAMES = [
@@ -66,6 +70,8 @@ class NYUHandposeEvaluation(HandposeEvaluation):
 
 class MSRAHandposeEvaluation(HandposeEvaluation):
     """21 joints (handpose_evaluation.py:863-913)."""
+
+    camera = MSRA15_CAMERA
 
     joint_names = [
         "C", "T1", "T2", "T3", "T4", "I1", "I2", "I3", "I4", "M1", "M2",

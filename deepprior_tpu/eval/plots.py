@@ -34,8 +34,123 @@ def _finger_colors(n_edges: int, n_fingers: int = 5):
     return colors
 
 
+def _joint_colors(n_joints: int, n_fingers: int = 5):
+    """HSV ramp per joint, grouped by finger — the reference's jointColors
+    tables (handpose_evaluation.py:700-719 etc.) as a formula."""
+    hues = [0.00, 0.33, 0.50, 0.66, 0.83, 0.16]
+    per = max(1, n_joints // max(n_fingers, 1))
+    colors = []
+    for i in range(n_joints):
+        h = hues[min(i // per, len(hues) - 1)]
+        v = 0.4 + 0.6 * ((i % per) + 1) / per
+        colors.append(hsv_to_rgb([h, 1.0, v]))
+    return colors
+
+
+def _rgb_to_gray(rgb):
+    g = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+    return np.array([g, g, g])
+
+
 def _ensure_dir(path):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+
+# ----------------------------------------------------------------------
+# reusable joint plotting — reference plotJoints (handpose_evaluation.py:
+# 435-487) draws on either a matplotlib axis or an ndarray image (there
+# via cv2; here a small numpy rasterizer, no cv2 in the image).
+# ----------------------------------------------------------------------
+
+def _stamp(img, u, v, r, color):
+    h, w = img.shape[:2]
+    u0, u1 = max(0, u - r), min(w, u + r + 1)
+    v0, v1 = max(0, v - r), min(h, v + r + 1)
+    if u0 < u1 and v0 < v1:
+        img[v0:v1, u0:u1] = color
+
+
+def _raster_line(img, p0, p1, color, thickness):
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))) * 2 + 2
+    us = np.rint(np.linspace(p0[0], p1[0], n)).astype(int)
+    vs = np.rint(np.linspace(p0[1], p1[1], n)).astype(int)
+    r = max(1, int(round(thickness / 2)))
+    for u, v in zip(us, vs):
+        _stamp(img, u, v, r, color)
+
+
+def _raster_disk(img, u, v, radius, color):
+    h, w = img.shape[:2]
+    u, v, radius = int(round(u)), int(round(v)), int(round(radius))
+    u0, u1 = max(0, u - radius), min(w, u + radius + 1)
+    v0, v1 = max(0, v - radius), min(h, v + radius + 1)
+    if u0 >= u1 or v0 >= v1:
+        return
+    uu, vv = np.meshgrid(np.arange(u0, u1), np.arange(v0, v1))
+    mask = (uu - u) ** 2 + (vv - v) ** 2 <= radius**2
+    img[v0:v1, u0:u1][mask] = color
+
+
+def _img_color(c):
+    """Colour spec -> uint8 RGB triple for ndarray drawing."""
+    c = np.asarray(c, np.float64).reshape(-1)[:3]
+    if c.max() <= 1.0:
+        c = c * 255.0
+    return c.astype(np.uint8)
+
+
+def plot_joints(ev, ax, joints2d, color="nice", jcolor=None, annoscale=1):
+    """Draw the skeleton + joint markers of `ev`'s dataset on `ax`.
+
+    `ax` is a matplotlib axis OR an (H, W, 3) uint8 image (drawn in-place,
+    like the reference's cv2 path).  `color`/`jcolor` accept 'nice'
+    (per-finger HSV ramp), 'gray', or an explicit colour; `jcolor=None`
+    draws no joint markers (the reference would pass None through to the
+    marker colour; we treat it as markers-off, which is the only sane
+    reading).  Mirrors handpose_evaluation.py:435-487, including the
+    skip-connections-when-joints-missing guard."""
+    joints2d = np.asarray(joints2d, np.float64)
+    conns = list(ev.joint_connections)
+    ccolors = _finger_colors(len(conns)) if conns else []
+    jcolors = _joint_colors(joints2d.shape[0])
+    is_img = isinstance(ax, np.ndarray)
+
+    # reference guard: connections need the full skeleton's joints
+    if conns and joints2d.shape[0] >= int(np.max(conns)):
+        for ci, (a, b) in enumerate(conns):
+            if a >= joints2d.shape[0] or b >= joints2d.shape[0]:
+                continue
+            if color == "nice":
+                lc = ccolors[ci]
+            elif color == "gray":
+                lc = _rgb_to_gray(ccolors[ci])
+            else:
+                lc = color
+            if is_img:
+                _raster_line(ax, joints2d[a], joints2d[b], _img_color(lc),
+                             3 * annoscale)
+            else:
+                ax.plot(
+                    [joints2d[a, 0], joints2d[b, 0]],
+                    [joints2d[a, 1], joints2d[b, 1]],
+                    c=lc, linewidth=3.0 * annoscale,
+                )
+    if jcolor is None:
+        return ax
+    for i in range(joints2d.shape[0]):
+        if jcolor == "nice":
+            jc = jcolors[i]
+        elif jcolor == "gray":
+            jc = _rgb_to_gray(jcolors[i])
+        else:
+            jc = jcolor
+        if is_img:
+            _raster_disk(ax, joints2d[i, 0], joints2d[i, 1], 6 * annoscale,
+                         _img_color(jc))
+        else:
+            ax.scatter(joints2d[i, 0], joints2d[i, 1], marker="o", s=100,
+                       c=[np.asarray(jc, np.float64).reshape(-1)[:3]])
+    return ax
 
 
 def plot_evaluation(ev, name: str, method_name="Ours", baseline=None):

@@ -53,6 +53,108 @@ def test_frames_within_dist(ev):
     assert ((frac >= 0) & (frac <= 1)).all()
 
 
+def test_over_seq_surface(ev):
+    """The per-frame metric family (handpose_evaluation.py:106-228)."""
+    e, gt, pred = ev
+    d = np.sqrt(((gt - pred) ** 2).sum(2))
+    np.testing.assert_allclose(e.getMeanErrorOverSeq(), d.mean(1), rtol=1e-6)
+    np.testing.assert_allclose(e.getMaxErrorOverSeq(), d.max(1), rtol=1e-6)
+    for j in [0, 5, 13]:
+        np.testing.assert_allclose(e.getJointErrorOverSeq(j), d[:, j], rtol=1e-6)
+        np.testing.assert_allclose(
+            e.getJointDiffOverSeq(j), gt[:, j] - pred[:, j], rtol=1e-6
+        )
+
+
+def test_median_and_joint_frame_counts(ev):
+    e, gt, pred = ev
+    d = np.sqrt(((gt - pred) ** 2).sum(2))
+    for t in [3.0, 8.0, 20.0]:
+        assert e.getNumFramesWithinMedianDist(t) == (np.median(d, 1) <= t).sum()
+        for j in [0, 13]:
+            assert e.getJointNumFramesWithinMaxDist(t, j) == (d[:, j] <= t).sum()
+
+
+def test_cumulative_moving_average():
+    """Reproduces the reference's lagging prefix average EXACTLY
+    (handpose_evaluation.py:183-194): cma[0]=x[0], cma[i]=mean(x[0:i])."""
+    data = np.array([4.0, 2.0, 6.0, 0.0, 8.0])
+    cma = HandposeEvaluation.cumulativeMovingAverage(data)
+    assert cma.shape == (5, 1)
+    # the reference loop, verbatim
+    expect = np.zeros((5, 1))
+    expect[0] = data[0]
+    for i in range(1, 5):
+        expect[i] = np.nanmean(data[0:i])
+    np.testing.assert_allclose(cma, expect)
+    # nan handling matches nanmean-of-prefix
+    datan = np.array([1.0, np.nan, 3.0, 5.0])
+    cman = HandposeEvaluation.cumulativeMovingAverage(datan)
+    assert cman[2, 0] == pytest.approx(1.0)   # mean of [1, nan]
+    assert cman[3, 0] == pytest.approx(2.0)   # mean of [1, nan, 3]
+
+
+def test_get_pcl():
+    """Per-dataset getPCL dispatch (handpose_evaluation.py:730,843,906)."""
+    rng = np.random.default_rng(5)
+    gt = rng.uniform(-50, 50, (4, 16, 3)).astype(np.float32)
+    e = ICVLHandposeEvaluation(gt, gt)
+    dpt = np.zeros((128, 128), np.float32)
+    dpt[64, 64] = 500.0
+    dpt[10, 100] = 600.0
+    T = np.eye(3, dtype=np.float32)  # identity crop: pixels are frame coords
+    pcl = e.getPCL(dpt, T)
+    assert pcl.shape == (2, 3)
+    assert set(np.round(pcl[:, 2])) == {500.0, 600.0}
+    # identity transform -> matches the camera's direct back-projection
+    direct = e.camera.depth_to_pcl(dpt)
+    np.testing.assert_allclose(pcl, direct, atol=1e-4)
+    # the base class has no camera bound
+    with pytest.raises(NotImplementedError):
+        HandposeEvaluation(gt, gt).getPCL(dpt, T)
+    # NYU/MSRA dispatch to their own (flipped) cameras
+    gtn = rng.uniform(-50, 50, (4, 14, 3)).astype(np.float32)
+    en = NYUHandposeEvaluation(gtn, gtn)
+    pn = en.getPCL(dpt, T)
+    assert pn.shape == (2, 3)
+    # flipped camera: v below center -> negative y for the (64,64) point
+    assert pn[np.argmin(np.abs(pn[:, 2] - 500.0)), 1] > 0  # v=64 above uy=240
+
+
+def test_plot_joints_axis_and_image(tmp_path):
+    """plotJoints draws on both a matplotlib axis and an ndarray image
+    (handpose_evaluation.py:435-487)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rng = np.random.default_rng(6)
+    gt = rng.uniform(-50, 50, (3, 16, 3)).astype(np.float32)
+    e = ICVLHandposeEvaluation(gt, gt)
+    j2d = rng.uniform(20, 100, (16, 2)).astype(np.float32)
+
+    fig, ax = plt.subplots()
+    e.plotJoints(ax, j2d, color="nice", jcolor="nice")
+    assert len(ax.lines) == len(e.joint_connections)
+    plt.close(fig)
+
+    img = np.zeros((128, 128, 3), np.uint8)
+    e.plotJoints(img, j2d, color="nice", jcolor="nice", annoscale=1)
+    assert img.any(), "rasterized skeleton wrote no pixels"
+    # explicit colour + gray path + jcolor=None (no markers)
+    img2 = np.zeros((128, 128, 3), np.uint8)
+    e.plotJoints(img2, j2d, color=(255, 0, 0), jcolor=None)
+    assert (img2[..., 0] > 0).any() and not (img2[..., 1] > 0).any()
+    fig, ax = plt.subplots()
+    e.plotJoints(ax, j2d, color="gray", jcolor="gray")
+    plt.close(fig)
+    # too few joints for the skeleton -> connections skipped, no crash
+    img3 = np.zeros((64, 64, 3), np.uint8)
+    e.plotJoints(img3, j2d[:4], color="nice", jcolor=None)
+    assert not img3.any()
+
+
 def test_perfect_prediction():
     gt = np.random.default_rng(1).uniform(-50, 50, (10, 16, 3)).astype(np.float32)
     e = ICVLHandposeEvaluation(gt, gt.copy())
