@@ -111,6 +111,38 @@ def test_direct_pose_regression(toy_setup):
     assert np.isfinite(obs["error_mm_avg"])
 
 
+def test_sub_epoch_validation(toy_setup):
+    """validation_frequency runs observers every V minibatches inside the
+    epoch (reference nettrainer.py:859-889): 64 frames / batch 16 = 4
+    steps; V=2 -> 2 validations per epoch."""
+    cam, data, _ = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(
+        batch_size=16, n_epochs=2, aug_modes=None, validation_frequency=2
+    )
+    trainer = Trainer(model, cfg, cam, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    state, hist = trainer.fit(state, data, val_data=data, log=lambda m: None)
+    assert len(hist["val_error_mm"]) == 4  # 2 segments x 2 epochs
+    assert np.isfinite(hist["val_error_mm"]).all()
+    assert len(hist["train_cost"]) == 8  # 4 steps x 2 epochs, none dropped
+
+
+def test_evaluate_device_resident(toy_setup):
+    """evaluate() accepts device-resident TrainData and returns the same
+    metrics as with host arrays (the device-side scan path)."""
+    cam, data, _ = toy_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    cfg = TrainConfig(batch_size=16, n_epochs=1, aug_modes=None)
+    trainer = Trainer(model, cfg, cam, prior=None)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    sub = TrainData(*(np.asarray(a)[:19] for a in data))
+    host = trainer.evaluate(state, sub)
+    dev = trainer.evaluate(state, jax.tree.map(jnp.asarray, sub))
+    for k in host:
+        assert host[k] == pytest.approx(dev[k], rel=1e-6), k
+
+
 def test_predict_pads_tail(toy_setup):
     cam, data, prior = toy_setup
     model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
