@@ -6,8 +6,9 @@ the thin entry point the TPU framework uses on multi-host pods: call
 build a global ('dp', 'tp') mesh over all devices.  On a single host both
 are no-ops/equivalent to parallel.mesh.make_mesh.
 
-Untestable in this single-host image; kept minimal and side-effect-free
-until called.
+Executed for real by tests/test_multihost.py: two jax.distributed CPU
+processes (4 virtual devices each) build the global mesh, feed their
+process-local batch slices, and run a sharded step.
 """
 
 from __future__ import annotations
@@ -29,8 +30,17 @@ def initialize(
     On TPU pods the arguments autodetect from the runtime environment;
     pass them explicitly for other launchers.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # do NOT probe jax.process_count() here: it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run (bug
+    # caught by tests/test_multihost.py).  The distributed client handle
+    # is the side-effect-free "already initialized" signal.
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except ImportError:  # private module moved; fall through to the call
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(

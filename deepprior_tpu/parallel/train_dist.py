@@ -80,6 +80,16 @@ class DistributedTrainer(Trainer):
             out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
         return out
 
+    def stream_put_chunk(self, chunk: dict) -> dict:
+        """Stage one (k, batch, ...) macro chunk with the BATCH axis (1)
+        sharded over the data axes; the scan axis (0) stays unsharded so
+        each scanned minibatch is already dp-split on device."""
+        out = {}
+        for k, v in chunk.items():
+            spec = P(*((None, self._batch_axes) + (None,) * (v.ndim - 2)))
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
+
     def place_data(self, data: TrainData, shard: bool = False) -> TrainData:
         """Place the training tensors on the mesh.
 

@@ -75,3 +75,35 @@ def chunked_epochs(
         for s in range(0, end, batch_size):
             idx = perm[s : s + batch_size]
             yield {k: v[idx] for k, v in arrays.items()}
+
+
+def macro_chunks(
+    arrays: dict,
+    batch_size: int,
+    n_epochs: int,
+    chunk_steps: int,
+    seed: int = 23455,
+):
+    """Macro-batch generator: (k, batch, ...) stacks of `chunk_steps`
+    minibatches per yield — the TPU analog of the reference's macro
+    batches (nettrainer.py:489-599): one host->device transfer and one
+    dispatch then cover k training steps (a lax.scan inside the jit).
+
+    Batches are EXACTLY chunked_epochs' batches in the same order (same
+    seed -> same permutations), just stacked: chunks never straddle an
+    epoch, and a short epoch tail yields a smaller final chunk (so at
+    most two distinct chunk shapes compile)."""
+    import numpy as np
+
+    n = next(iter(arrays.values())).shape[0]
+    steps = n // batch_size
+    rng = np.random.default_rng(seed)
+    for _ in range(n_epochs):
+        perm = rng.permutation(n)[: steps * batch_size]
+        for s0 in range(0, steps, chunk_steps):
+            k = min(chunk_steps, steps - s0)
+            idx = perm[s0 * batch_size : (s0 + k) * batch_size]
+            yield {
+                key: v[idx].reshape((k, batch_size) + v.shape[1:])
+                for key, v in arrays.items()
+            }

@@ -153,6 +153,49 @@ def test_predict_pads_tail(toy_setup):
     assert out.shape == (19, 30)
 
 
+def test_macro_chunking_invariant(toy_setup):
+    """fit_streamed's loss trace must not depend on chunk_steps — the
+    macro-chunk scan consumes RNG per minibatch exactly like the
+    single-step path (reference macro batches, nettrainer.py:489-599)."""
+    cam, data, prior = toy_setup
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+    traces = []
+    for k in (1, 4):
+        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+        cfg = TrainConfig(batch_size=16, n_epochs=2, aug_modes=("com", "none"))
+        trainer = Trainer(model, cfg, cam, prior=prior)
+        state = trainer.init_state(arrays["crops"][:16])
+        _, hist = trainer.fit_streamed(
+            state, arrays, chunk_steps=k, log=lambda m: None
+        )
+        traces.append(np.asarray(hist["train_cost"]))
+    assert traces[0].shape == traces[1].shape == (8,)  # 4 steps x 2 epochs
+    np.testing.assert_allclose(traces[0], traces[1], rtol=1e-6)
+
+
+def test_macro_chunks_match_chunked_epochs():
+    """macro_chunks yields chunked_epochs' batches, stacked."""
+    from deepprior_tpu.train.prefetch import chunked_epochs, macro_chunks
+
+    rng = np.random.default_rng(0)
+    arrays = {"a": rng.normal(size=(37, 5)).astype(np.float32)}
+    flat = list(chunked_epochs(arrays, batch_size=8, n_epochs=2, seed=7))
+    chunks = list(macro_chunks(arrays, batch_size=8, n_epochs=2,
+                               chunk_steps=3, seed=7))
+    # 4 steps/epoch -> chunks of 3 and 1 per epoch
+    assert [c["a"].shape[0] for c in chunks] == [3, 1, 3, 1]
+    stacked = np.concatenate([c["a"] for c in chunks], axis=0)
+    np.testing.assert_array_equal(
+        stacked, np.stack([b["a"] for b in flat], axis=0)
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {
         "params": {"dense": {"kernel": np.ones((4, 3), np.float32)}},
