@@ -18,6 +18,7 @@ the data boundary.
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -25,6 +26,35 @@ import jax.numpy as jnp
 
 # reference dropoutlayer.py default p = 0.3 (drop probability)
 DROPOUT_RATE = 0.3
+
+
+def prelu(x, c):
+    """Parametric ReLU — the canonical 2-arg activation for the learned-
+    parameter mechanism (reference hiddenlayer.py:146-151 creates a
+    trainable per-unit `c` whenever the activation takes two args)."""
+    return jnp.where(x >= 0, x, c * x)
+
+
+def takes_learned_param(fn: Optional[Callable]) -> bool:
+    """True when `fn(x, c)` expects a trainable parameter tensor — the
+    reference's `len(inspect.getargspec(activation).args) == 2` dispatch
+    (hiddenlayer.py:145, nonlinearitylayer.py:112)."""
+    if fn is None:
+        return False
+    try:
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+    except (TypeError, ValueError):
+        return False
+    return len(params) == 2
 
 he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 xavier_init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
@@ -97,15 +127,36 @@ class MLPHead(nn.Module):
     hidden: int = 1024
     dropout: bool = True
     embedding: Optional[int] = None
+    # hidden-layer nonlinearity.  A 2-arg callable (e.g. `prelu`) triggers
+    # the reference's learned-parameter activation (hiddenlayer.py:40-169):
+    # each hidden layer gets a trainable per-unit `c`, initialized to 0.5,
+    # and computes activation(Wx + b, c).  The default (1-arg relu) keeps
+    # the parameter tree unchanged.
+    activation: Optional[Callable] = nn.relu
     dtype: Any = jnp.float32
+
+    def _activate(self, x, idx: int):
+        if self.activation is None:
+            return x
+        if takes_learned_param(self.activation):
+            # per-unit trainable c, ones*0.5 init (hiddenlayer.py:146-148)
+            c = self.param(
+                f"c{idx}", nn.initializers.constant(0.5), (x.shape[-1],)
+            )
+            return self.activation(x, c)
+        return self.activation(x)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x.reshape((x.shape[0], -1))
-        x = nn.relu(nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x))
+        x = self._activate(
+            nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x), 0
+        )
         if self.dropout:
             x = nn.Dropout(DROPOUT_RATE, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x))
+        x = self._activate(
+            nn.Dense(self.hidden, kernel_init=he_init, dtype=self.dtype)(x), 1
+        )
         if self.dropout:
             x = nn.Dropout(DROPOUT_RATE, deterministic=deterministic)(x)
         if self.embedding is not None:

@@ -27,6 +27,9 @@ class PoseRegNetConfig(NamedTuple):
     embedding: Optional[int] = None  # type 11's 30-D bottleneck
     hidden: int = 1024
     dropout: bool = True
+    # FC nonlinearity; a 2-arg callable (layers.prelu) enables the
+    # reference's learned-parameter activation (hiddenlayer.py:40-169)
+    activation: Any = nn.relu
     dtype: Any = jnp.float32
 
     @property
@@ -50,6 +53,7 @@ class PoseRegNet(nn.Module):
             hidden=self.cfg.hidden,
             dropout=self.cfg.dropout,
             embedding=self.cfg.embedding,
+            activation=self.cfg.activation,
             dtype=dt,
         )(x, deterministic=not train)
         return out.astype(jnp.float32)

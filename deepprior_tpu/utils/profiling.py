@@ -54,15 +54,33 @@ def device_trace(log_dir: str = "/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
-def time_batched_inference(fn: Callable, args, iters: int = 20) -> float:
-    """ms/batch for a jitted function (computeOutput(timeit=True) analog,
-    netbase.py:308-310).  Blocks on the result each iteration."""
+def _drain(out):
+    """Completion barrier that works through the axon tunnel, where
+    jax.block_until_ready returns before execution finishes (CLAUDE.md):
+    fetch one element of one result to the host.  Executions run in order
+    per device, so a tail fetch drains every queued computation."""
+    import numpy as np
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def time_batched_inference(fn: Callable, args, iters: int = 20) -> float:
+    """ms/batch for a jitted function (computeOutput(timeit=True) analog,
+    netbase.py:308-310).
+
+    Queues all iterations and drains with a single host fetch — the only
+    reliable barrier on remote-device setups — then subtracts one fetch
+    round-trip (measured separately on the warmup result)."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
+    # fetch round-trip cost, measured on an already-complete result
+    t0 = time.perf_counter()
+    _drain(out)
+    fetch_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return 1000.0 * (time.perf_counter() - t0) / iters
+    _drain(out)
+    return 1000.0 * max(time.perf_counter() - t0 - fetch_s, 0.0) / iters

@@ -12,10 +12,11 @@ with Theano conventions:
   * ConvPoolLayer adds bias before the maxpool; max(x+b) == max(x)+b, so
     the bias maps unchanged onto our bias-after-pool layers.
 
-Supported: PoseRegNet types 0/11 and ScaleNet type 1 (the reference's
-gzip/raw '.pkl' artifacts, e.g. network_prior.pkl from the main scripts).
-ResNet pickles interleave BatchNorm running stats in params_nontrained and
-are not mapped yet.
+Supported: PoseRegNet types 0/11, ScaleNet type 1, AND ResNet-47 (the
+reference's gzip/raw '.pkl' artifacts, e.g. network_prior.pkl from the
+main scripts).  ResNet pickles interleave BatchNorm running stats in
+params_nontrained; `resnet_params_from_reference` walks the emission
+order and converts BN inv_std -> variance exactly.
 
 Verified by round-trip tests (flax -> reference layout -> flax); Theano is
 not available in this image to cross-check against live reference nets,

@@ -175,3 +175,40 @@ def test_orthogonal_init():
 
     w = orthogonal_init(jax.random.key(0), (64, 64), jnp.float32)
     np.testing.assert_allclose(np.asarray(w.T @ w), np.eye(64), atol=1e-4)
+
+
+def test_learned_param_activation():
+    """2-arg activations get a trainable per-unit `c` (init 0.5) in each
+    hidden layer — reference hiddenlayer.py:40-169 / nonlinearitylayer.py:
+    112-117."""
+    from deepprior_tpu.models.layers import prelu, takes_learned_param
+
+    assert takes_learned_param(prelu)
+    assert not takes_learned_param(jax.nn.relu)
+    assert not takes_learned_param(None)
+
+    cfg = PoseRegNetConfig(num_joints=2, n_dims=3, activation=prelu,
+                           dropout=False)
+    model = PoseRegNet(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 128, 1)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    head = variables["params"]["MLPHead_0"]
+    assert head["c0"].shape == (1024,) and head["c1"].shape == (1024,)
+    np.testing.assert_allclose(np.asarray(head["c0"]), 0.5)
+
+    # c0=0.5 init makes the activation leaky-relu(0.5); gradient must flow
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 6)
+
+    def loss(params):
+        return jnp.sum(model.apply({"params": params}, x, train=False) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(grads["MLPHead_0"]["c0"]).max()) > 0.0
+
+    # the default relu config keeps the parameter tree unchanged (no c)
+    plain = PoseRegNet(PoseRegNetConfig(num_joints=2, n_dims=3,
+                                        dropout=False))
+    pv = plain.init(jax.random.key(0), x, train=False)
+    assert "c0" not in pv["params"]["MLPHead_0"]
