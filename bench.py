@@ -128,6 +128,52 @@ def main():
                 "pallas vs onehot mismatch on device"
             pallas_msg = "pallas==onehot bit-exact"
 
+            # ICVL-sized frames take the 160-row banded window; must stay
+            # bit-exact vs the XLA one-hot path on device
+            from deepprior_tpu.camera import ICVL_CAMERA
+            from deepprior_tpu.data.synthetic import make_frame as _mf
+
+            rng_i = np.random.default_rng(77)
+            fr_i = [_mf(ICVL_CAMERA, rng_i) for _ in range(8)]
+            dpt_i, _, _ = jax.jit(clamp_depth)(
+                jnp.asarray(np.stack([f.extraData["dpt_full"] for f in fr_i]))
+            )
+            com_i = jnp.asarray(np.stack([f.com for f in fr_i]))
+            p_icvl = np.asarray(
+                pallas_normalized_crop(
+                    dpt_i, com_i, cube, ICVL_CAMERA.fx, ICVL_CAMERA.fy
+                )[0]
+            )
+            o_icvl = np.asarray(
+                jax.jit(
+                    lambda d, c: normalize_crop(
+                        crop3d(d, c, cube, ICVL_CAMERA.fx, ICVL_CAMERA.fy,
+                               method="onehot")[0],
+                        c[:, 2], cube[2],
+                    )
+                )(dpt_i, com_i)
+            )
+            assert (p_icvl == o_icvl).all(), "pallas ICVL mismatch on device"
+
+            # in-kernel bilinear vs the XLA two-tap MXU path
+            p_bi = np.asarray(
+                pallas_normalized_crop(
+                    dpt_c, com_j, cube, cam.fx, cam.fy, use_bilinear=True
+                )[0]
+            )
+            o_bi = np.asarray(
+                jax.jit(
+                    lambda d, c: normalize_crop(
+                        crop3d(d, c, cube, cam.fx, cam.fy, method="onehot",
+                               use_bilinear=True)[0],
+                        c[:, 2], cube[2],
+                    )
+                )(dpt_c, com_j)
+            )
+            bi_pal = np.abs(p_bi - o_bi).max()
+            assert bi_pal < 1e-3, f"pallas bilinear vs onehot: max {bi_pal}"
+            pallas_msg += f", ICVL banded bit-exact, bilinear max|d|={bi_pal:.1e}"
+
         bi_gather = crop_with("gather", use_bilinear=True)
         bi_onehot = crop_with("onehot", use_bilinear=True)
         bi_err = np.abs(bi_gather - bi_onehot).max()

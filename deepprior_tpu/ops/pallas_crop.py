@@ -33,18 +33,33 @@ from jax.experimental.pallas import tpu as pltpu
 from deepprior_tpu.ops.crop import _embed_geometry, com_to_bounds
 
 
-# in-VMEM source window (rows, cols): covers the typical hand bbox (cube
-# 250-300 mm at z >= 450 mm under NYU intrinsics: <= ~350 px + alignment
-# slack).  Slicing the window out of the VMEM-resident frame is free (no
-# extra HBM traffic — the failure mode of doing this in XLA), and the
-# one-hot contractions shrink from H/W to the window dims (~2x fewer MXU
-# passes).  Samples whose band doesn't fit take the full-frame branch.
-WIN_H = 384  # window start sublane-aligned (multiple of 8)
+# in-VMEM source window (rows, cols): covers the typical hand bbox.
+# Slicing the window out of the VMEM-resident frame is free (no extra HBM
+# traffic — the failure mode of doing this in XLA), and the one-hot
+# contractions shrink from H/W to the window dims (fewer MXU passes).
+# Samples whose band doesn't fit take the full-frame branch.
+WIN_H = 384  # NYU 480x640: window start sublane-aligned (multiple of 8)
 WIN_W = 512  # window start lane-aligned (multiple of 128) -> extra slack
 
 
+def window_dims(h: int, w: int):
+    """Per-frame-size banded-window dims (rows, cols).
+
+    640x480 (NYU) uses the (384, 512) window.  320x240 frames (ICVL /
+    MSRA15, intrinsics fx=241.42) get a 160-row full-width band: a 250 mm
+    cube at z >= 450 mm spans <= ~134 px, so 160 rows (plus 8-row
+    alignment slack) covers typical hands, and the full 320-col width
+    sidesteps the 128-lane window-start granularity that would make
+    column banding useless at w=320.  Frames the band cannot help
+    (h <= band rows) disable banding."""
+    wh = 384 if h > 384 else (160 if h > 160 else h)
+    ww = 512 if w > 512 else w
+    return wh, ww
+
+
 def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
-                 clamp=False, band_block=False):
+                 clamp=False, band_block=False, win=(WIN_H, WIN_W),
+                 bilinear=False):
     """params_ref: (B, 15|17) scalar-prefetch rows [xstart, ystart, wb, hb,
     off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h, fits, wy, wx
     (, min_d, max_d when clamp)].
@@ -60,6 +75,7 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
     i = pl.program_id(0)
     dw, dh = dsize
     h, w = dpt_ref.shape
+    win_h, win_w = win
 
     xstart = params_ref[i, 0]
     ystart = params_ref[i, 1]
@@ -81,23 +97,36 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
     u = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 0).astype(jnp.float32)
 
-    # separable source indices (cv2 INTER_NEAREST floor semantics) via the
-    # backend-rewrite-proof exact floor-div — see ops/crop.py
+    # separable source coordinates via the backend-rewrite-proof exact
+    # floor-div (nearest, cv2 INTER_NEAREST floor semantics) or the float
+    # resize map (bilinear) — see ops/crop.py
     from deepprior_tpu.ops.crop import _exact_floor_div
 
-    p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)  # (1, dw)
-    q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)  # (dh, 1)
+    if bilinear:
+        # same coordinate math as _crop3d_bilinear_onehot_batch: ratio
+        # first, then offset (agreement is to f32 round-off)
+        p = (u[0:1, :] - off_x) * (wb / sz_w) + xstart  # (1, dw) float
+        q = (v[:, 0:1] - off_y) * (hb / sz_h) + ystart  # (dh, 1) float
+    else:
+        p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)
+        q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)
 
     if clamp:
         min_d = params_ref[i, 15]
         max_d = params_ref[i, 16]
 
     def select(src, p_rel, q_rel):
-        """One-hot R @ src @ C^T; out-of-range -> zero row == zero pad.
+        """Selection matmuls R @ src @ C^T; out-of-range -> zero row ==
+        zero pad.
+
+        Nearest: R/C are one-hot.  Bilinear: each row carries the two-tap
+        weights (1-frac, frac) at (floor, floor+1) — bilinear resampling
+        is separable, so it is STILL two matmuls, just with weighted
+        selectors (matches ops.crop._crop3d_bilinear_onehot_batch).
 
         HIGHEST precision: the MXU's default 1-pass bf16 would quantize
         the selected depth values; bf16x3 is exact for one-hot selection
-        of f32 values.
+        of f32 values and keeps bilinear to f32 round-off.
 
         With clamp=True the constructor's depth clamping (clamp_depth)
         applies to the window values right here — cleaning ~0.2 MB of
@@ -109,9 +138,17 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
             src = jnp.where(keep, src, 0.0)
         sh, sw = src.shape
         hh = jax.lax.broadcasted_iota(jnp.int32, (dh, sh), 1).astype(jnp.float32)
-        rowsel = (hh == q_rel).astype(jnp.float32)  # (dh, src_h)
         ww = jax.lax.broadcasted_iota(jnp.int32, (dw, sw), 1).astype(jnp.float32)
-        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.float32)  # (dw, src_w)
+        if bilinear:
+            q0 = jnp.floor(q_rel)
+            fq = q_rel - q0
+            rowsel = (hh == q0) * (1.0 - fq) + (hh == q0 + 1.0) * fq
+            p0c = jnp.floor(p_rel).reshape(dw, 1)
+            fpc = p_rel.reshape(dw, 1) - p0c
+            colsel = (ww == p0c) * (1.0 - fpc) + (ww == p0c + 1.0) * fpc
+        else:
+            rowsel = (hh == q_rel).astype(jnp.float32)  # (dh, src_h)
+            colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.float32)
         rows = jnp.dot(
             rowsel, src,
             preferred_element_type=jnp.float32,
@@ -141,17 +178,25 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
         return (d - com_z) / cube_half
 
     if band_block:
-        # dpt_ref IS the per-sample (WIN_H, WIN_W) window — the pipeline
+        # dpt_ref IS the per-sample (win_h, win_w) window — the pipeline
         # DMA'd only the band (pl.Element offsets from scalar prefetch)
         out_ref[:, :] = epilogue(select(dpt_ref[:, :], p - wx, q - wy))
-    elif h > WIN_H and w > WIN_W:
+    elif h > win_h or w > win_w:
 
         @pl.when(fits)
         def _banded():
             wy_i = pl.multiple_of(params_ref[i, 13].astype(jnp.int32), 8)
-            wx_i = pl.multiple_of(params_ref[i, 14].astype(jnp.int32), 128)
-            win = dpt_ref[pl.ds(wy_i, WIN_H), pl.ds(wx_i, WIN_W)]
-            out_ref[:, :] = epilogue(select(win, p - wx, q - wy))
+            # Mosaic alignment: a sliced extent must be lane/sublane-tiled
+            # OR the full dim — when the window spans the whole axis (e.g.
+            # 320-px-wide frames), don't slice that axis at all
+            if win_w < w:
+                wx_i = pl.multiple_of(params_ref[i, 14].astype(jnp.int32), 128)
+                src = dpt_ref[pl.ds(wy_i, win_h), pl.ds(wx_i, win_w)]
+            elif win_h < h:
+                src = dpt_ref[pl.ds(wy_i, win_h), :]
+            else:
+                src = dpt_ref[:, :]
+            out_ref[:, :] = epilogue(select(src, p - wx, q - wy))
 
         @pl.when(jnp.logical_not(fits))
         def _full():
@@ -163,7 +208,9 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fx", "fy", "dsize", "norm_zero_one", "fuse_clamp"),
+    static_argnames=(
+        "fx", "fy", "dsize", "norm_zero_one", "fuse_clamp", "use_bilinear"
+    ),
 )
 def pallas_normalized_crop(
     dpt,
@@ -174,6 +221,7 @@ def pallas_normalized_crop(
     dsize: Tuple[int, int] = (128, 128),
     norm_zero_one: bool = False,
     fuse_clamp: bool = False,
+    use_bilinear: bool = False,
 ):
     """Drop-in fast path for ops.crop.normalized_crop (same outputs).
 
@@ -182,6 +230,8 @@ def pallas_normalized_crop(
     kernel instead of rewriting the whole frame batch through HBM first
     (bit-identical, saves a full-frame read+write pass).
     com: (B, 3); cube: (3,) or (B, 3).
+    use_bilinear=True resamples with two-tap separable bilinear selection
+    (handdetector.py:343-350 resize semantics) instead of nearest.
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
     from deepprior_tpu.ops.crop import crop_transform
@@ -192,6 +242,18 @@ def pallas_normalized_crop(
     b, h, w = dpt.shape
     dw, dh = dsize
 
+    # Mosaic can only slice (8, 128)-tiled extents, so pad the frame to
+    # sublane/lane multiples (320 -> 384 cols for ICVL/MSRA).  Zero-padded
+    # pixels select as zeros — EXACTLY the out-of-image zero-padding
+    # semantics of the crop (handdetector.py:274-279) — so numerics are
+    # untouched; all crop geometry below stays in original coordinates.
+    pad_h = (-h) % 8
+    pad_w = (-w) % 128
+    if pad_h or pad_w:
+        dpt = jnp.pad(dpt, ((0, 0), (0, pad_h), (0, pad_w)))
+    hk, wk = h + pad_h, w + pad_w
+    win_h, win_w = window_dims(hk, wk)
+
     xs, xe, ys, ye, zs, ze = com_to_bounds(com, cube, fx, fy, (h, w))
     scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
     wb = xe - xs
@@ -200,14 +262,22 @@ def pallas_normalized_crop(
     # banded-window parameters: p/q increase monotonically, so the in-image
     # source band is [clip(first), clip(last)] per axis; the window start is
     # sublane-aligned and clamped, and fits flags whether the whole band
-    # lands inside the fixed (WIN_H, WIN_W) window
+    # lands inside the fixed (win_h, win_w) window.  Bilinear reads one
+    # extra tap past the floor, hence the +1 band margin.
     from deepprior_tpu.ops.crop import _exact_floor_div
 
     def band(first_start, extent, off, sz, n_out, limit):
-        lo = first_start + _exact_floor_div((0.0 - off) * extent, sz)
-        hi = first_start + _exact_floor_div(
-            (float(n_out - 1) - off) * extent, sz
-        )
+        if use_bilinear:
+            lo = jnp.floor((0.0 - off) * (extent / sz) + first_start)
+            hi = (
+                jnp.floor((float(n_out - 1) - off) * (extent / sz) + first_start)
+                + 1.0
+            )
+        else:
+            lo = first_start + _exact_floor_div((0.0 - off) * extent, sz)
+            hi = first_start + _exact_floor_div(
+                (float(n_out - 1) - off) * extent, sz
+            )
         lo = jnp.clip(lo, 0.0, limit - 1.0)
         hi = jnp.clip(hi, 0.0, limit - 1.0)
         return lo, hi
@@ -217,14 +287,14 @@ def pallas_normalized_crop(
     # starts aligned for Mosaic: sublane (rows) multiple of 8, lane (cols)
     # multiple of 128; the clamp limits are themselves aligned multiples
     wy = jnp.clip(
-        jnp.floor(qlo / 8.0) * 8.0, 0.0, float(max((h - WIN_H) // 8 * 8, 0))
+        jnp.floor(qlo / 8.0) * 8.0, 0.0, float(max((hk - win_h) // 8 * 8, 0))
     )
     wx = jnp.clip(
         jnp.floor(plo / 128.0) * 128.0,
         0.0,
-        float(max((w - WIN_W) // 128 * 128, 0)),
+        float(max((wk - win_w) // 128 * 128, 0)),
     )
-    fits = ((qhi - wy < WIN_H) & (phi - wx < WIN_W)).astype(jnp.float32)
+    fits = ((qhi - wy < win_h) & (phi - wx < win_w)).astype(jnp.float32)
 
     cols = [
         xs, ys, wb, hb, off_x, off_y, zs, ze,
@@ -238,14 +308,14 @@ def pallas_normalized_crop(
     params = jnp.stack(cols, axis=1)  # (B, 15|17)
 
     def call_kernel(band: bool):
-        """band=True: the pipeline DMAs only each sample's (WIN_H, WIN_W)
+        """band=True: the pipeline DMAs only each sample's (win_h, win_w)
         source band — pl.Element offsets read from the scalar-prefetch
-        params — cutting HBM traffic ~1.6x vs streaming full frames, with
-        the automatic double-buffering intact.  Valid only when every
-        sample fits; the lax.cond below dispatches."""
+        params — cutting HBM traffic vs streaming full frames, with the
+        automatic double-buffering intact.  Valid only when every sample
+        fits; the lax.cond below dispatches."""
         if band:
             in_spec = pl.BlockSpec(
-                (None, pl.Element(WIN_H), pl.Element(WIN_W)),
+                (None, pl.Element(win_h), pl.Element(win_w)),
                 lambda i, prm: (
                     i,
                     pl.multiple_of(prm[i, 13].astype(jnp.int32), 8),
@@ -253,7 +323,7 @@ def pallas_normalized_crop(
                 ),
             )
         else:
-            in_spec = pl.BlockSpec((1, h, w), lambda i, prm: (i, 0, 0))
+            in_spec = pl.BlockSpec((1, hk, wk), lambda i, prm: (i, 0, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -270,6 +340,8 @@ def pallas_normalized_crop(
                 norm_zero_one=norm_zero_one,
                 clamp=fuse_clamp,
                 band_block=band,
+                win=(win_h, win_w),
+                bilinear=use_bilinear,
             )
 
         return pl.pallas_call(
@@ -278,7 +350,7 @@ def pallas_normalized_crop(
             grid_spec=grid_spec,
         )(params, dpt)
 
-    if h > WIN_H and w > WIN_W:
+    if hk > win_h or wk > win_w:
         crop = jax.lax.cond(
             jnp.all(fits > 0.0),
             lambda: call_kernel(True),

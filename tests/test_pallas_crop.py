@@ -22,6 +22,19 @@ def scene():
     return cam, np.asarray(dpt_c), com
 
 
+@pytest.fixture(scope="module")
+def scene_icvl():
+    from deepprior_tpu.camera import ICVL_CAMERA
+
+    rng = np.random.default_rng(33)
+    cam = ICVL_CAMERA
+    frames = [make_frame(cam, rng) for _ in range(4)]
+    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    dpt_c, _, _ = clamp_depth(dpt)
+    return cam, np.asarray(dpt_c), com
+
+
 def test_pallas_crop_matches_jnp(scene):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,3 +103,56 @@ def test_pallas_crop_zero_one(scene):
         )
     mismatched = np.mean(np.abs(np.asarray(out) - np.asarray(ref)) > 1e-4)
     assert mismatched < 1e-3
+
+
+def test_pallas_crop_icvl_sized(scene_icvl):
+    """320x240 frames (ICVL/MSRA) now get a banded window too (160-row
+    full-width band, window_dims) — and must agree with the jnp path both
+    when the band fits and on the full-frame fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop, window_dims
+
+    assert window_dims(240, 320) == (160, 320)
+    assert window_dims(480, 640) == (384, 512)
+    assert window_dims(128, 128) == (128, 128)
+
+    cam, dpt, com = scene_icvl
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    ref, m_ref = normalized_crop(dpt, com, cube, cam.fx, cam.fy)
+    with pltpu.force_tpu_interpret_mode():
+        out, m = pallas_normalized_crop(dpt, com, cube, cam.fx, cam.fy)
+    mismatched = np.mean(np.abs(np.asarray(out) - np.asarray(ref)) > 1e-4)
+    assert mismatched < 1e-3, f"{mismatched:.2%} pixels differ"
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-6)
+
+    # a huge cube's band exceeds the 160-row window -> full-frame branch
+    big = np.array([900.0, 900.0, 900.0], np.float32)
+    ref_b, _ = normalized_crop(dpt, com, big, cam.fx, cam.fy)
+    with pltpu.force_tpu_interpret_mode():
+        out_b, _ = pallas_normalized_crop(dpt, com, big, cam.fx, cam.fy)
+    mismatched = np.mean(np.abs(np.asarray(out_b) - np.asarray(ref_b)) > 1e-4)
+    assert mismatched < 1e-3
+
+
+@pytest.mark.parametrize("scene_name", ["nyu", "icvl"])
+def test_pallas_bilinear(scene, scene_icvl, scene_name):
+    """In-kernel two-tap bilinear selection vs the XLA two-tap MXU path
+    (ops.crop method='onehot', use_bilinear=True): same separable math,
+    agreement to f32 round-off on both frame sizes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop
+
+    cam, dpt, com = scene if scene_name == "nyu" else scene_icvl
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    ref, _ = normalized_crop(
+        dpt, com, cube, cam.fx, cam.fy, use_bilinear=True, method="onehot"
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, _ = pallas_normalized_crop(
+            dpt, com, cube, cam.fx, cam.fy, use_bilinear=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
