@@ -109,6 +109,20 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="regressor family (reference: PoseRegNet in the "
                         "shipped mains, ResNet-47 for the paper's best "
                         "results / realtime demo)")
+    p.add_argument("--accept", action="store_true",
+                   help="acceptance mode: evaluate the combined test set "
+                        "against the shipped baseline predictions, emit the "
+                        "paper's curves (threshold curve, per-joint bars, "
+                        "2D overlays), and exit non-zero unless the mean "
+                        "error beats the BASELINE.md threshold")
+    p.add_argument("--accept-mm", type=float, default=None,
+                   help="acceptance threshold in mm (default: the "
+                        "per-dataset BASELINE.md rebuild target)")
+    p.add_argument("--baseline-file", default=None,
+                   help="baseline predictions file (default: the dataset's "
+                        "shipped file under --data, e.g. NYU "
+                        "test/test_predictions.mat or ICVL "
+                        "LRF_Results_seq_1.txt)")
     return p
 
 
@@ -150,11 +164,87 @@ def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1):
     return Trainer(model, cfg, camera, prior=prior)
 
 
+def _acceptance(args, importer_cls, camera, eval_cls, tests, all_gt3d,
+                all_joints, outdir, prefix, baseline_spec, accept_mm):
+    """Acceptance gate (VERDICT r2 #7): the reference's baseline-comparison
+    epilogue (main_nyu_posereg_embedding.py:161-205) as a turnkey command.
+
+    Builds one evaluation over the combined test set (the reference extends
+    gt3D across all test seqs before comparing, main:163-166), loads the
+    shipped baseline predictions (Tompson .mat via importer.loadBaseline
+    with gt depth-fixup, main:192; LRF .txt, main_icvl:184), emits the
+    paper's curves — the frames-within-threshold success curve + per-joint
+    bars (plotEvaluation with the baseline overlaid, main:197) and the
+    every-20th-frame 2D skeleton overlays (main:199-205) — and asserts the
+    BASELINE.md rebuild-target mean error.
+
+    Returns the record written into results.json; raises SystemExit when
+    the threshold is missed so CI/scripts get a non-zero exit.
+    """
+    from deepprior_tpu.geometry import transform_points_2d_np
+
+    thr = args.accept_mm if args.accept_mm is not None else accept_mm
+    gt = np.concatenate(all_gt3d, axis=0)
+    joints = np.concatenate(all_joints, axis=0)
+    hpe = eval_cls(gt, joints)
+    hpe.subfolder = outdir
+
+    baseline = []
+    rec = {"mean_mm": float(hpe.getMeanError()),
+           "max_mm": float(hpe.getMaxError()),
+           "threshold_mm": float(thr),
+           "n_test_frames": int(gt.shape[0])}
+    bl_path = args.baseline_file
+    if bl_path is None and args.data and baseline_spec:
+        cand = os.path.join(args.data, baseline_spec["relpath"])
+        bl_path = cand if os.path.isfile(cand) else None
+    if bl_path and baseline_spec:
+        imp = importer_cls(args.data or os.path.dirname(bl_path) or ".")
+        if baseline_spec["kind"] == "mat":
+            preds = imp.loadBaseline(bl_path, gt=gt)
+        else:
+            preds = imp.loadBaseline(bl_path)
+        preds = np.asarray(preds[: gt.shape[0]], np.float32)
+        hpe_base = eval_cls(gt[: preds.shape[0]], preds)
+        hpe_base.subfolder = outdir
+        baseline = [(baseline_spec["label"], hpe_base)]
+        rec["baseline"] = {"label": baseline_spec["label"],
+                           "mean_mm": float(hpe_base.getMeanError()),
+                           "file": bl_path}
+        print(f"baseline {baseline_spec['label']}: "
+              f"mean {hpe_base.getMeanError():.3f}mm", flush=True)
+
+    hpe.plotEvaluation(f"{prefix}_accept", methodName="Our regr",
+                       baseline=baseline)
+    # 2D overlays, every 20th frame of the first test seq (main:199-205)
+    off = 0
+    for seq in tests[:1]:
+        for ind in range(0, len(seq.data), 20):
+            fr = seq.data[ind]
+            jt_img = camera.three_d_to_img_np(joints[off + ind])
+            jt2d = transform_points_2d_np(jt_img, fr.T)
+            hpe.plotResult(fr.dpt, fr.gtcrop, jt2d,
+                           name=f"{prefix}_{ind}")
+        off += len(seq.data)
+
+    rec["pass"] = bool(rec["mean_mm"] < thr)
+    status = "PASS" if rec["pass"] else "FAIL"
+    print(f"acceptance [{status}]: mean {rec['mean_mm']:.3f}mm "
+          f"vs threshold {thr:.3f}mm over {rec['n_test_frames']} frames",
+          flush=True)
+    return rec
+
+
 def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
-                          num_joints, eval_cls, n_pca=30):
+                          num_joints, eval_cls, n_pca=30,
+                          baseline_spec=None, accept_mm=10.0):
     """The flagship recipe (reference main_nyu_posereg_embedding.py:38-205):
     import -> PCA prior from 1e6 sampled poses -> PoseRegNet 30-D embedding
-    training with augmentation -> decode -> metric evaluation."""
+    training with augmentation -> decode -> metric evaluation.
+
+    baseline_spec/accept_mm configure the --accept gate (see _acceptance):
+    {"label", "relpath", "kind": "mat"|"txt"} and the BASELINE.md mean-mm
+    rebuild target."""
     from deepprior_tpu.models import (
         PoseRegNet,
         PoseRegNetConfig,
@@ -237,6 +327,8 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
 
     metrics = {}
     results = {}
+    all_gt3d = []
+    all_joints = []
     for seq in tests:
         tdata = TrainData.from_sequence(seq)
         emb = trainer.predict(state, np.asarray(tdata.crops))
@@ -247,6 +339,8 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         com3d = camera.img_to_3d_np(np.asarray(tdata.com))
         joints = decoded * (cube_z / 2.0) + com3d[:, None, :]
         gt3d = np.stack([f.gt3Dorig for f in seq.data])
+        all_gt3d.append(gt3d)
+        all_joints.append(joints)
         hpe = eval_cls(gt3d, joints)
         hpe.subfolder = outdir
         print(f"{seq.name}: mean {hpe.getMeanError():.3f}mm "
@@ -262,10 +356,22 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
                 hpe.getJointMeanError(j) for j in range(joints.shape[1])
             ],
         }
+    accept_rec = None
+    if getattr(args, "accept", False) and tests:
+        accept_rec = _acceptance(
+            args, importer_cls, camera, eval_cls, tests, all_gt3d,
+            all_joints, outdir, prefix, baseline_spec, accept_mm,
+        )
+        metrics["acceptance"] = accept_rec
     # per-run result record (the reference pickles results under
     # eval/<prefix>/, main:184; a JSON is the durable equivalent)
     with open(os.path.join(outdir, "results.json"), "w") as fh:
         json.dump(metrics, fh, indent=1)
+    if accept_rec is not None and not accept_rec["pass"]:
+        raise SystemExit(
+            f"acceptance FAILED: {accept_rec['mean_mm']:.3f}mm >= "
+            f"{accept_rec['threshold_mm']:.3f}mm"
+        )
     return state, results
 
 

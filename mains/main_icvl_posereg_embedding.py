@@ -14,4 +14,11 @@ if __name__ == "__main__":
         args, ICVLImporter, ICVL_CAMERA,
         train_seq="train", test_seqs=["test_seq_1"],
         num_joints=16, eval_cls=ICVLHandposeEvaluation,
+        # --accept: vs Tang et al. LRF predictions (reference
+        # main_icvl_posereg_embedding.py:184), BASELINE.md ~8.1 mm paper
+        # number with a 5% tolerance
+        baseline_spec={"label": "Tang et al.",
+                       "relpath": "LRF_Results_seq_1.txt",
+                       "kind": "txt"},
+        accept_mm=8.5,
     )

@@ -5,6 +5,8 @@ Run: python mains/main_nyu_posereg_embedding.py --data ../data/NYU
      python mains/main_nyu_posereg_embedding.py --synthetic --epochs 5
 """
 
+import os
+
 from common import base_parser, run_posereg_embedding
 
 if __name__ == "__main__":
@@ -17,4 +19,9 @@ if __name__ == "__main__":
         args, NYUImporter, NYU_CAMERA,
         train_seq="train", test_seqs=["test_1", "test_2"],
         num_joints=14, eval_cls=NYUHandposeEvaluation,
+        # --accept: vs Tompson et al. predictions, BASELINE.md <10 mm target
+        baseline_spec={"label": "Tompson et al.",
+                       "relpath": os.path.join("test", "test_predictions.mat"),
+                       "kind": "mat"},
+        accept_mm=10.0,
     )

@@ -1,0 +1,161 @@
+"""Acceptance-harness smoke tests (VERDICT r2 #7).
+
+The --accept gate reimplements the reference's baseline-comparison epilogue
+(main_nyu_posereg_embedding.py:161-205, main_icvl_posereg_embedding.py:
+180-190) as a turnkey command: combined-test-set evaluation, shipped-
+baseline comparison (Tompson .mat / LRF .txt), the paper's curves, and a
+hard mean-error threshold from BASELINE.md.  These tests drive it end to
+end on synthetic data + generated baseline fixtures so a future round with
+the real datasets is one command away.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, os.path.join(REPO, "mains"))
+
+
+def _write_icvl_baseline_txt(path, seed, n_frames):
+    """LRF-style line format (u v d x 16 joints per line), regenerated from
+    the exact synthetic test sequence the main will build (same seed), plus
+    pixel-scale noise so the baseline has a small nonzero error."""
+    from deepprior_tpu.camera import ICVL_CAMERA
+    from deepprior_tpu.data.synthetic import make_sequence
+
+    seq = make_sequence(ICVL_CAMERA, n_frames, num_joints=16, seed=seed,
+                        name="test_seq_1")
+    rng = np.random.default_rng(7)
+    with open(path, "w") as fh:
+        for fr in seq.data:
+            uvd = fr.gtorig + rng.normal(0.0, [1.0, 1.0, 3.0],
+                                         fr.gtorig.shape)
+            fh.write(" ".join(f"{v:.4f}" for v in uvd.reshape(-1)) + "\n")
+    return len(seq.data)
+
+
+def _run_main(tmp_path, extra, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "mains", "main_icvl_posereg_embedding.py"),
+         "--synthetic", "--batch-size", "16", "--out", str(tmp_path),
+         *extra],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_accept_icvl_pass(tmp_path):
+    """Green path: --accept with a generous threshold trains, compares
+    against the .txt baseline, writes the curves + overlays + acceptance
+    record, and exits 0."""
+    bl = tmp_path / "LRF_Results_seq_1.txt"
+    # load_or_synthesize: test seq has max(32, nmax//8) frames, seed+1
+    _write_icvl_baseline_txt(str(bl), seed=23455 + 1, n_frames=32)
+
+    out = _run_main(tmp_path, ["--epochs", "2", "--nmax", "48", "--accept",
+                               "--baseline-file", str(bl),
+                               "--accept-mm", "1000"])
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "acceptance [PASS]" in out.stdout
+    assert "baseline Tang et al." in out.stdout
+
+    outdir = tmp_path / "train_EMB_PCA30"
+    rec = json.load(open(outdir / "results.json"))["acceptance"]
+    assert rec["pass"] is True
+    assert rec["threshold_mm"] == 1000.0
+    assert rec["n_test_frames"] == 32
+    # the fixture is gt + ~1 px noise -> small but nonzero baseline error
+    assert 0.0 < rec["baseline"]["mean_mm"] < 100.0
+    assert rec["baseline"]["label"] == "Tang et al."
+    # the paper's curves: threshold curve + per-joint bars (one PDF) and
+    # the every-20th-frame 2D overlays (32 frames -> indices 0 and 20)
+    files = os.listdir(outdir)
+    assert any("accept" in f and f.endswith(".pdf") for f in files), files
+    pngs = [f for f in files if f.endswith("_0.png") or f.endswith("_20.png")]
+    assert len(pngs) == 2, files
+
+
+def test_accept_icvl_fail_exits_nonzero(tmp_path):
+    """Red path: an unbeatable threshold makes the main exit non-zero with
+    the FAIL diagnostics (CI contract)."""
+    out = _run_main(tmp_path, ["--epochs", "1", "--nmax", "33", "--accept",
+                               "--accept-mm", "0.0001"])
+    assert out.returncode != 0
+    assert "acceptance [FAIL]" in out.stdout
+    assert "acceptance FAILED" in out.stderr
+    # the record is still written for post-mortem
+    rec = json.load(
+        open(tmp_path / "train_EMB_PCA30" / "results.json")
+    )["acceptance"]
+    assert rec["pass"] is False
+
+
+def test_accept_nyu_mat_branch(tmp_path):
+    """The Tompson .mat baseline branch (importer.loadBaseline with gt
+    depth-fixup, reference main:192 + importers.py:1078-1122) through
+    _acceptance directly: depth PNGs + predictions .mat fixture, synthetic
+    NYU frames."""
+    from PIL import Image
+    import scipy.io
+
+    import common  # mains/common.py
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.data.importers import NYUImporter
+    from deepprior_tpu.data.synthetic import make_sequence
+    from deepprior_tpu.eval import NYUHandposeEvaluation
+
+    seq = make_sequence(NYU_CAMERA, 4, num_joints=14, seed=11, name="test_1",
+                        keep_full=True)
+    gt = np.stack([f.gt3Dorig for f in seq.data]).astype(np.float32)
+
+    # full-frame depth PNGs in NYU packing (G<<8 | B), next to the .mat
+    for i, fr in enumerate(seq.data):
+        d16 = fr.extraData["dpt_full"].astype(np.uint16)
+        rgb = np.zeros(d16.shape + (3,), np.uint8)
+        rgb[..., 1] = (d16 >> 8).astype(np.uint8)
+        rgb[..., 2] = (d16 & 0xFF).astype(np.uint8)
+        Image.fromarray(rgb).save(tmp_path / f"depth_1_{i + 1:07d}.png")
+
+    # predicted (u, v) = projected gt + noise, all-nonzero confidence
+    rng = np.random.default_rng(3)
+    pred = np.zeros((4, 14, 3))
+    for i in range(4):
+        uv = NYU_CAMERA.three_d_to_img_np(gt[i])[:, :2]
+        uv = uv + rng.normal(0.0, 1.0, uv.shape)
+        pred[i, :, 0] = np.clip(uv[:, 0], 0, NYU_CAMERA.width - 1)
+        pred[i, :, 1] = np.clip(uv[:, 1], 0, NYU_CAMERA.height - 1)
+        pred[i, :, 2] = 1.0
+    mat = tmp_path / "test_predictions.mat"
+    scipy.io.savemat(str(mat), {
+        "pred_joint_uvconf": pred[None],
+        "conv_joint_names": np.array([f"j{i}" for i in range(14)])[None],
+    })
+
+    args = SimpleNamespace(accept_mm=None, baseline_file=str(mat), data=None)
+    joints = gt + rng.normal(0.0, 2.0, gt.shape).astype(np.float32)
+    rec = common._acceptance(
+        args,
+        lambda bp: NYUImporter(bp, use_cache=False),
+        NYU_CAMERA, NYUHandposeEvaluation, [seq], [gt], [joints],
+        str(tmp_path), "NYU_SMOKE",
+        baseline_spec={"label": "Tompson et al.",
+                       "relpath": os.path.join("test",
+                                               "test_predictions.mat"),
+                       "kind": "mat"},
+        accept_mm=10.0,
+    )
+    assert rec["baseline"]["label"] == "Tompson et al."
+    # noisy-projection baseline: finite, nonzero, small error
+    assert 0.0 < rec["baseline"]["mean_mm"] < 100.0
+    assert rec["pass"] == (rec["mean_mm"] < 10.0)
+    files = os.listdir(tmp_path)
+    assert any("accept" in f and f.endswith(".pdf") for f in files), files
+    assert "NYU_SMOKE_0.png" in files
