@@ -83,6 +83,47 @@ def main():
     def force(x):
         return np.asarray(x[-1])
 
+    # BENCH_MODE=batch1: realtime serving latency probe.  Reports BOTH the
+    # dispatch-inclusive per-call latency (what a host-driven serving loop
+    # sees) and the pure device floor (the pipeline looped inside one
+    # fori_loop — zero per-call dispatch), decomposing where the time goes.
+    if os.environ.get("BENCH_MODE") == "batch1":
+        from deepprior_tpu.utils.profiling import (
+            device_loop_latency,
+            time_batched_inference,
+        )
+
+        depth1 = jnp.asarray(depth_u[:1])
+        com1 = jnp.asarray(com_u[:1])
+        joints, _, _ = est(variables, depth1, com1)
+        force(joints)
+
+        call_ms = time_batched_inference(
+            lambda d, c: est(variables, d, c)[0], (depth1, com1), iters=50
+        )
+
+        # loop-carried drift (x * 1e-32 is numerically zero but not
+        # algebraically removable) serializes iterations and defeats
+        # loop-invariant hoisting of the pipeline body
+        def step(c):
+            j, _, _ = est._pipeline(variables, depth1, com1 + c)
+            return j[0, 0] * 1e-32
+
+        dev_ms = device_loop_latency(step, jnp.zeros(3), iters=200)
+        print(
+            json.dumps(
+                {
+                    "metric": "batch1_serving_ms",
+                    "value": round(dev_ms, 4),
+                    "unit": "ms/frame (pure device)",
+                    "vs_baseline": round((1000.0 / 30.0) / max(dev_ms, 1e-9), 1),
+                    "dispatch_inclusive_ms": round(call_ms, 4),
+                    "model": model_name,
+                }
+            )
+        )
+        return
+
     # warmup / compile
     joints, _, _ = est(variables, depth_d, com_d)
     force(joints)

@@ -117,3 +117,27 @@ def test_synth_sequence_cache(tmp_path, monkeypatch):
     # a different seed misses the cache
     s3 = synth.make_sequence(NYU_CAMERA, 8, seed=12)
     assert not np.array_equal(s3.data[0].dpt, s1.data[0].dpt)
+
+
+def test_profiling_timers():
+    """time_batched_inference and device_loop_latency return sane ms on the
+    CPU backend (the helpers' host-fetch barrier contract, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.utils.profiling import (
+        device_loop_latency,
+        time_batched_inference,
+    )
+
+    fn = jax.jit(lambda x: (x @ x).sum(axis=1))
+    x = jnp.ones((64, 64))
+    ms = time_batched_inference(fn, (x,), iters=3)
+    assert ms >= 0.0
+
+    def step(c):
+        y = (x + c[0]) @ x
+        return y[0, :1] * 1e-32
+
+    dev_ms = device_loop_latency(step, jnp.zeros(1), iters=5)
+    assert dev_ms >= 0.0
