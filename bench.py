@@ -42,7 +42,11 @@ def main():
     import os
 
     cam = NYU_CAMERA
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # 512 outperforms 1024 on v5e for this pipeline (measured: 182.6k vs
+    # 176.3k fps — the smaller live set keeps the crop windows and conv
+    # activations resident); it is also the largest batch whose fresh
+    # remote-compile is reliable through this sandbox's axon tunnel
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     n_unique = min(16, batch)
     # BENCH_MODEL=resnet benches the paper's big model instead
     model_name = os.environ.get("BENCH_MODEL", "poseregnet")
@@ -53,13 +57,24 @@ def main():
     com_u = np.stack([f.com for f in frames])
     reps = batch // n_unique
 
+    # BENCH_PACKED=0 disables the MXU lane-packed conv+pool formulation
+    # (models/layers._PackedConvPool — same parameters/arithmetic)
+    packed = os.environ.get("BENCH_PACKED", "1") != "0"
     if model_name == "resnet":
         from deepprior_tpu.models import ResNet, ResNetConfig
 
-        model = ResNet(ResNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16))
+        model = ResNet(
+            ResNetConfig(
+                num_joints=1, n_dims=30, dtype=jnp.bfloat16,
+                packed_conv=packed,
+            )
+        )
     else:
         model = PoseRegNet(
-            PoseRegNetConfig(num_joints=1, n_dims=30, dtype=jnp.bfloat16)
+            PoseRegNetConfig(
+                num_joints=1, n_dims=30, dtype=jnp.bfloat16,
+                packed_conv=packed,
+            )
         )
     variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
     prior = PCAPrior(
@@ -105,11 +120,13 @@ def main():
         # loop-carried drift (x * 1e-32 is numerically zero but not
         # algebraically removable) serializes iterations and defeats
         # loop-invariant hoisting of the pipeline body
-        def step(c):
-            j, _, _ = est._pipeline(variables, depth1, com1 + c)
+        def step(c, v, d, cm):
+            j, _, _ = est._pipeline(v, d, cm + c)
             return j[0, 0] * 1e-32
 
-        dev_ms = device_loop_latency(step, jnp.zeros(3), iters=200)
+        dev_ms = device_loop_latency(
+            step, jnp.zeros(3), iters=200, args=(variables, depth1, com1)
+        )
         print(
             json.dumps(
                 {

@@ -22,6 +22,7 @@ import inspect
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # reference dropoutlayer.py default p = 0.3 (drop probability)
@@ -85,9 +86,80 @@ def pool2d(x, window: Tuple[int, int], kind: str = "max"):
     raise ValueError(f"unknown pool kind {kind!r}")
 
 
+def packed_pool_kernel(kernel, pool: Tuple[int, int]):
+    """Embed a (kh, kw, C, F) stride-1 conv kernel into the phase-packed
+    (ph+kh-1, pw+kw-1, C, ph*pw*F) kernel of the fused conv+maxpool (see
+    _PackedConvPool).  Output channel (p*pw+q)*F+f holds K shifted to the
+    pool phase (p, q); taps outside the 5x5 support are exact zeros."""
+    kh, kw, _, _ = kernel.shape
+    ph, pw = pool
+    groups = [
+        jnp.pad(kernel, ((p, ph - 1 - p), (q, pw - 1 - q), (0, 0), (0, 0)))
+        for p in range(ph)
+        for q in range(pw)
+    ]
+    return jnp.concatenate(groups, axis=-1)
+
+
+class _PackedConvPool(nn.Module):
+    """conv(kh x kw, stride 1, VALID) + maxpool(ph x pw) fused as ONE
+    strided conv that fills the MXU's output lanes.
+
+    The reference's conv stacks keep 8 feature maps (convpoollayer.py),
+    which uses 8 of the MXU's 128 output lanes (~6%).  But the maxpool
+    windows tile the conv output into ph x pw phases, so
+
+      y[i,j,f] = max_{p,q} sum_{a,b,c} x[ph*i+p+a, pw*j+q+b, c] K[a,b,c,f]
+               = max_{p,q} z[i,j,(p,q,f)]
+
+      z = conv(x, K2; stride (ph, pw), VALID),
+      K2[u,v,c,(p,q,f)] = K[u-p, v-q, c, f]   (zero outside the support)
+
+    — one strided conv with ph*pw*F output channels (128 lanes for the
+    8-map pool-4 layer) followed by a cheap max over the phase groups.
+    Identical parameters and arithmetic; only the contraction gains taps
+    that multiply exact zeros, so results match the plain path to f.p.
+    summation order.  ~2x fewer useful FLOPs/s are spent on padding taps,
+    repaid ~16x over in lane utilization.
+
+    Parameter names/shapes/inits equal nn.Conv's ("kernel", "bias"), so a
+    checkpoint trained either way loads in the other."""
+
+    features: int
+    kernel: Tuple[int, int]
+    pool: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        ph, pw = self.pool
+        f = self.features
+        kernel = self.param(
+            "kernel", he_init, (kh, kw, x.shape[-1], f), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        k2 = packed_pool_kernel(kernel, (ph, pw)).astype(self.dtype)
+        z = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k2,
+            window_strides=(ph, pw),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        z = z + jnp.tile(bias.astype(self.dtype), ph * pw)
+        b, oh, ow, _ = z.shape
+        return z.reshape(b, oh, ow, ph * pw, f).max(axis=3)
+
+
 class ConvPool(nn.Module):
     """conv(valid) -> maxpool -> ReLU: reference ConvPoolLayer
-    (convpoollayer.py:39-305)."""
+    (convpoollayer.py:39-305).
+
+    packed=True computes the same layer via the phase-packed strided conv
+    (_PackedConvPool) — same parameter tree, ~10x faster on the MXU for
+    the reference's 8-map layers; falls back to the plain path when the
+    geometry doesn't apply (stride != 1, no pooling, SAME padding)."""
 
     features: int
     kernel: Tuple[int, int]
@@ -96,18 +168,33 @@ class ConvPool(nn.Module):
     padding: str = "VALID"
     stride: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            self.kernel,
-            strides=self.stride,
-            padding=self.padding,
-            kernel_init=he_init,
-            dtype=self.dtype,
-        )(x)
-        x = max_pool(x, self.pool)
+        if (
+            self.packed
+            and self.padding == "VALID"
+            and self.stride == (1, 1)
+            and min(self.pool) > 1
+        ):
+            x = _PackedConvPool(
+                self.features,
+                self.kernel,
+                self.pool,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel,
+                strides=self.stride,
+                padding=self.padding,
+                kernel_init=he_init,
+                dtype=self.dtype,
+            )(x)
+            x = max_pool(x, self.pool)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -44,6 +44,9 @@ class ResNetConfig(NamedTuple):
     embedding: Optional[int] = None  # reference types 1/4 use 30
     hidden: int = 1024
     dtype: Any = jnp.float32
+    # stem conv+pool as one MXU lane-packed strided conv (4*32 = 128 output
+    # lanes instead of 32; same parameters — layers._PackedConvPool)
+    packed_conv: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -112,10 +115,21 @@ class ResNet(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         x = x.astype(dt)
-        x = nn.Conv(
-            cfg.stages[0], (5, 5), padding="SAME", kernel_init=he_init, dtype=dt
-        )(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        if cfg.packed_conv:
+            # SAME padding applied explicitly, then the fused VALID-conv +
+            # pool phase packing (identical outputs; layers._PackedConvPool)
+            from deepprior_tpu.models.layers import _PackedConvPool
+
+            x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+            x = _PackedConvPool(
+                cfg.stages[0], (5, 5), (2, 2), dtype=dt, name="Conv_0"
+            )(x)
+        else:
+            x = nn.Conv(
+                cfg.stages[0], (5, 5), padding="SAME", kernel_init=he_init,
+                dtype=dt,
+            )(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
         for width in cfg.stages[1:]:
             x = _Bottleneck(width, stride=2, dtype=dt)(x, train)
             for _ in range(cfg.blocks_per_stage - 1):

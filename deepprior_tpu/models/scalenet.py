@@ -28,6 +28,7 @@ class ScaleNetConfig(NamedTuple):
     n_dims: int = 3
     resize_factor: int = 2
     shared_conv: bool = False
+    packed_conv: bool = False  # MXU lane-packed ConvPool (layers._PackedConvPool)
     hidden: int = 1024
     dropout: bool = True
     dtype: Any = jnp.float32
@@ -46,11 +47,14 @@ _KERNELS = (5, 5, 3)
 class _Tower(nn.Module):
     pools: Tuple[int, int, int]
     dtype: Any
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         for k, p in zip(_KERNELS, self.pools):
-            x = ConvPool(8, (k, k), (p, p), dtype=self.dtype)(x)
+            x = ConvPool(
+                8, (k, k), (p, p), dtype=self.dtype, packed=self.packed
+            )(x)
         return x.reshape((x.shape[0], -1))
 
 
@@ -118,7 +122,10 @@ class ScaleNet(nn.Module):
         if self.cfg.shared_conv:
             feats = _SharedConvTowers(dt)(xs)
         else:
-            feats = [_Tower(_POOLS[i], dt)(x.astype(dt)) for i, x in enumerate(xs)]
+            feats = [
+                _Tower(_POOLS[i], dt, self.cfg.packed_conv)(x.astype(dt))
+                for i, x in enumerate(xs)
+            ]
         x = jnp.concatenate(feats, axis=1)
         out = MLPHead(
             self.cfg.out_dim, hidden=self.cfg.hidden, dropout=self.cfg.dropout, dtype=dt

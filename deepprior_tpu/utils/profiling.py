@@ -66,7 +66,9 @@ def _drain(out):
     np.asarray(leaf.ravel()[:1])
 
 
-def device_loop_latency(step: Callable, carry0, iters: int = 100) -> float:
+def device_loop_latency(
+    step: Callable, carry0, iters: int = 100, args=()
+) -> float:
     """Pure device ms/iteration for `step` (carry -> carry), measured by
     running `iters` iterations inside ONE jitted `lax.fori_loop` — zero
     per-iteration dispatch, so the number is the device's serving floor
@@ -77,21 +79,28 @@ def device_loop_latency(step: Callable, carry0, iters: int = 100) -> float:
     `output[..., :3] * 1e-32` and add it to an input) so XLA cannot hoist
     the loop-invariant body out of the loop or dead-code-eliminate it.
 
+    Loop-invariant device arrays (the batch, the params) must go through
+    `args` — step(carry, *args) — NOT a Python closure: jit inlines closed
+    -over arrays as HLO constants, which bloats the program (and blows the
+    axon tunnel's remote-compile request limit for real batches).
+
     Single host fetch drains the loop; one fetch round-trip (measured on
     an already-complete result) is subtracted, per CLAUDE.md's barrier
     contract (netbase.py:308-310 is the reference's ms/frame surface)."""
     import jax
 
     loop = jax.jit(
-        lambda c: jax.lax.fori_loop(0, iters, lambda i, cc: step(cc), c)
+        lambda c, *a: jax.lax.fori_loop(
+            0, iters, lambda i, cc: step(cc, *a), c
+        )
     )
-    out = loop(carry0)
+    out = loop(carry0, *args)
     _drain(out)
     t0 = time.perf_counter()
     _drain(out)
     fetch_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = loop(carry0)
+    out = loop(carry0, *args)
     _drain(out)
     return 1000.0 * max(time.perf_counter() - t0 - fetch_s, 0.0) / iters
 

@@ -104,6 +104,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--packed-conv", action="store_true",
+                   help="MXU lane-packed conv+pool layers (same parameters/"
+                        "arithmetic, ~10x conv throughput on TPU; "
+                        "models/layers._PackedConvPool)")
     p.add_argument("--model", default="poseregnet",
                    choices=["poseregnet", "resnet"],
                    help="regressor family (reference: PoseRegNet in the "
@@ -289,7 +293,12 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
             ResNetConfig(num_joints=1, n_dims=n_pca, dropout=has_dropout)
         )
     else:
-        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=n_pca))
+        model = PoseRegNet(
+            PoseRegNetConfig(
+                num_joints=1, n_dims=n_pca,
+                packed_conv=getattr(args, "packed_conv", False),
+            )
+        )
     wr = getattr(args, "weightreg", 0.0)
     cfg = TrainConfig(
         batch_size=args.batch_size, learning_rate=args.lr,
@@ -400,7 +409,12 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
     data = to_refine_data(train)
     val = to_refine_data(tests[0]) if tests else None
 
-    model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
+    model = ScaleNet(
+        ScaleNetConfig(
+            num_joints=1, n_dims=3,
+            packed_conv=getattr(args, "packed_conv", False),
+        )
+    )
     cfg = TrainConfig(
         batch_size=min(args.batch_size, 64),  # reference uses 64 (main:166)
         learning_rate=args.lr, n_epochs=args.epochs,

@@ -212,3 +212,85 @@ def test_learned_param_activation():
                                         dropout=False))
     pv = plain.init(jax.random.key(0), x, train=False)
     assert "c0" not in pv["params"]["MLPHead_0"]
+
+
+def test_packed_convpool_equivalence():
+    """packed=True is the same layer: identical parameter tree, outputs
+    equal to the plain conv->pool path up to f.p. summation order
+    (layers._PackedConvPool docstring)."""
+    import jax
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 128, 128, 1)).astype(np.float32))
+
+    plain = PoseRegNet(PoseRegNetConfig(num_joints=2, n_dims=3, dropout=False))
+    packed = PoseRegNet(
+        PoseRegNetConfig(num_joints=2, n_dims=3, dropout=False,
+                         packed_conv=True)
+    )
+    variables = plain.init(jax.random.key(0), x, train=False)
+    pv = packed.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(pv)
+    assert [tuple(l.shape) for l in jax.tree.leaves(variables)] == [
+        tuple(l.shape) for l in jax.tree.leaves(pv)
+    ]
+
+    # SAME weights through both paths
+    out_plain = plain.apply(variables, x, train=False)
+    out_packed = packed.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_packed), rtol=1e-4, atol=1e-4
+    )
+
+    # gradient flows through the packed kernel embedding
+    def loss(params):
+        return jnp.sum(packed.apply({"params": params}, x, train=False) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    g0 = grads["ConvPool_0"]["Conv_0"]["kernel"]
+    assert float(jnp.abs(g0).max()) > 0.0
+
+
+def test_packed_convpool_scalenet():
+    """ScaleNet towers honor packed_conv with the same parameter tree."""
+    import jax
+
+    from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+    plain = ScaleNet(ScaleNetConfig(dropout=False))
+    packed = ScaleNet(ScaleNetConfig(dropout=False, packed_conv=True))
+    variables = plain.init(jax.random.key(0), x, train=False)
+    pv = packed.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(pv)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(variables, x, train=False)),
+        np.asarray(packed.apply(variables, x, train=False)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_packed_convpool_resnet_stem():
+    """ResNet's packed stem (explicit SAME pad + fused conv/pool) matches
+    the plain stem with the same parameter tree."""
+    import jax
+
+    from deepprior_tpu.models import ResNet, ResNetConfig
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+    plain = ResNet(ResNetConfig(num_joints=2, n_dims=3))
+    packed = ResNet(ResNetConfig(num_joints=2, n_dims=3, packed_conv=True))
+    variables = plain.init(jax.random.key(0), x, train=False)
+    pv = packed.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(pv)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(variables, x, train=False)),
+        np.asarray(packed.apply(variables, x, train=False)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
