@@ -81,8 +81,14 @@ def main():
         components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
         mean=np.zeros(42, np.float32),
     )
+    # the synthetic generator's documented working envelope (hands at
+    # z >= 500 mm, data/synthetic.py com_depth_range) lets the Pallas crop
+    # use a 304-row banded window instead of 384 (ops.pallas_crop.
+    # band_rows_for; out-of-envelope samples would full-frame-fallback)
+    min_depth = float(os.environ.get("BENCH_MIN_DEPTH", "500"))
     est = FusedEstimator(model, cam, prior=prior, refine_iters=0,
-                         crop_method=os.environ.get("BENCH_CROP", "auto"))
+                         crop_method=os.environ.get("BENCH_CROP", "auto"),
+                         min_depth_mm=min_depth or None)
 
     # ship only the unique frames; tile to the full batch on device
     tile = jax.jit(

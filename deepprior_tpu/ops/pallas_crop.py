@@ -42,7 +42,7 @@ WIN_H = 384  # NYU 480x640: window start sublane-aligned (multiple of 8)
 WIN_W = 512  # window start lane-aligned (multiple of 128) -> extra slack
 
 
-def window_dims(h: int, w: int):
+def window_dims(h: int, w: int, win_rows: int | None = None):
     """Per-frame-size banded-window dims (rows, cols).
 
     640x480 (NYU) uses the (384, 512) window.  320x240 frames (ICVL /
@@ -51,10 +51,28 @@ def window_dims(h: int, w: int):
     alignment slack) covers typical hands, and the full 320-col width
     sidesteps the 128-lane window-start granularity that would make
     column banding useless at w=320.  Frames the band cannot help
-    (h <= band rows) disable banding."""
+    (h <= band rows) disable banding.
+
+    win_rows narrows the row window below the per-size default (a
+    dataset-geometry bound — see band_rows_for); out-of-envelope samples
+    still fall back to the full-frame branch via the fits flag, so the
+    bound affects speed only, never correctness."""
     wh = 384 if h > 384 else (160 if h > 160 else h)
     ww = 512 if w > 512 else w
+    if win_rows is not None:
+        wr = max(8, -(-int(win_rows) // 8) * 8)
+        wh = min(wh, wr)
     return wh, ww
+
+
+def band_rows_for(fy: float, cube_z: float, z_min: float) -> int:
+    """Row-window bound for hands no closer than z_min mm: the projected
+    cube height 2*fy*(cube_z/2)/z_min, plus the bilinear extra tap and the
+    8-row window-start alignment slack, rounded up to a sublane multiple.
+    Pass to pallas_normalized_crop(win_rows=...) / FusedEstimator
+    (min_depth_mm=...) when the deployment's working envelope is known."""
+    rows = 2.0 * fy * (cube_z / 2.0) / float(z_min) + 1.0 + 7.0
+    return -(-int(rows) // 8) * 8
 
 
 def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
@@ -209,7 +227,8 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fx", "fy", "dsize", "norm_zero_one", "fuse_clamp", "use_bilinear"
+        "fx", "fy", "dsize", "norm_zero_one", "fuse_clamp", "use_bilinear",
+        "win_rows",
     ),
 )
 def pallas_normalized_crop(
@@ -222,6 +241,7 @@ def pallas_normalized_crop(
     norm_zero_one: bool = False,
     fuse_clamp: bool = False,
     use_bilinear: bool = False,
+    win_rows: int | None = None,
 ):
     """Drop-in fast path for ops.crop.normalized_crop (same outputs).
 
@@ -232,6 +252,9 @@ def pallas_normalized_crop(
     com: (B, 3); cube: (3,) or (B, 3).
     use_bilinear=True resamples with two-tap separable bilinear selection
     (handdetector.py:343-350 resize semantics) instead of nearest.
+    win_rows (static) narrows the banded row window to a dataset-geometry
+    bound (band_rows_for) — pure speed knob; samples outside the envelope
+    take the full-frame fallback.
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
     from deepprior_tpu.ops.crop import crop_transform
@@ -252,7 +275,7 @@ def pallas_normalized_crop(
     if pad_h or pad_w:
         dpt = jnp.pad(dpt, ((0, 0), (0, pad_h), (0, pad_w)))
     hk, wk = h + pad_h, w + pad_w
-    win_h, win_w = window_dims(hk, wk)
+    win_h, win_w = window_dims(hk, wk, win_rows)
 
     xs, xe, ys, ye, zs, ze = com_to_bounds(com, cube, fx, fy, (h, w))
     scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)

@@ -45,6 +45,7 @@ class FusedEstimator:
         refine_iters: int = 0,
         detect: bool = False,
         crop_method: str = "auto",
+        min_depth_mm: Optional[float] = None,
     ):
         self.model = model
         self.camera = camera
@@ -63,6 +64,16 @@ class FusedEstimator:
                 "pallas" if jax.default_backend() == "tpu" else "onehot"
             )
         self.crop_method = crop_method
+        # optional deployment z-envelope: hands never closer than this ->
+        # the Pallas crop can use a narrower banded window (speed only;
+        # closer samples fall back to the full-frame branch)
+        self.win_rows = None
+        if min_depth_mm is not None:
+            from deepprior_tpu.ops.pallas_crop import band_rows_for
+
+            self.win_rows = band_rows_for(
+                camera.fy, float(cube[2]), min_depth_mm
+            )
         self._fn = jax.jit(self._pipeline)
 
     # ------------------------------------------------------------------
@@ -78,7 +89,7 @@ class FusedEstimator:
 
             crops, _ = pallas_normalized_crop(
                 depth, com, self.cube, cam.fx, cam.fy, self.dsize,
-                fuse_clamp=True,
+                fuse_clamp=True, win_rows=self.win_rows,
             )
         else:
             depth, _, _ = clamp_depth(depth)
@@ -94,7 +105,8 @@ class FusedEstimator:
                 )
 
                 crops, _ = pallas_normalized_crop(
-                    depth, com, self.cube, cam.fx, cam.fy, self.dsize
+                    depth, com, self.cube, cam.fx, cam.fy, self.dsize,
+                    win_rows=self.win_rows,
                 )
             else:
                 crops, _ = normalized_crop(

@@ -156,3 +156,37 @@ def test_pallas_bilinear(scene, scene_icvl, scene_name):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_crop_win_rows(scene):
+    """A dataset-geometry row bound (win_rows) keeps the crop bit-exact;
+    an impossibly tight bound trips the full-frame fallback, still exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_crop import (
+        band_rows_for,
+        pallas_normalized_crop,
+        window_dims,
+    )
+
+    cam, dpt, com = scene
+    cube = (250.0, 250.0, 250.0)
+    ref, m_ref = normalized_crop(
+        dpt, com, cube, cam.fx, cam.fy, method="onehot"
+    )
+
+    rows = band_rows_for(cam.fy, cube[2], float(com[:, 2].min()))
+    assert rows < 384  # actually narrower than the default window
+    assert window_dims(480, 640, rows) == (rows, 512)
+
+    with pltpu.force_tpu_interpret_mode():
+        got, m = pallas_normalized_crop(
+            dpt, com, cube, cam.fx, cam.fy, win_rows=rows
+        )
+        # bound far tighter than any hand: every sample falls back
+        tight, _ = pallas_normalized_crop(
+            dpt, com, cube, cam.fx, cam.fy, win_rows=16
+        )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(tight), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref))
