@@ -13,6 +13,7 @@ from deepprior_tpu.parallel.mesh import (
     param_shardings,
     replicated,
 )
+from deepprior_tpu.parallel.serve import ShardedEstimator
 from deepprior_tpu.parallel.train_dist import DistributedTrainer
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "param_shardings",
     "replicated",
     "DistributedTrainer",
+    "ShardedEstimator",
 ]

@@ -80,3 +80,22 @@ def test_bench_contract(tmp_path):
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["unit"] == "fps" and rec["value"] > 0
+
+
+def test_bench_batch1_mode(tmp_path):
+    """BENCH_MODE=batch1 prints the serving-latency JSON (pure-device +
+    dispatch-inclusive ms) and exits cleanly."""
+    import json
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", BENCH_MODE="batch1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "batch1_serving_ms"
+    assert rec["value"] >= 0 and rec["dispatch_inclusive_ms"] >= 0

@@ -227,3 +227,52 @@ def test_distributed_fit_streamed(dist_setup):
         np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
     )
     assert len(h2["val_error_mm"]) == 2
+
+
+def test_sharded_estimator_matches_single_device():
+    """ShardedEstimator (dp x tp GSPMD serving) returns the same joints as
+    the single-device FusedEstimator on the 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.data.synthetic import make_frame
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.parallel import ShardedEstimator, make_mesh
+    from deepprior_tpu.prior import PCAPrior
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    rng = np.random.default_rng(11)
+    cam = NYU_CAMERA
+    frames = [make_frame(cam, rng) for _ in range(8)]
+    depth = jnp.asarray(
+        np.stack([f.extraData["dpt_full"] for f in frames])
+    )
+    com = jnp.asarray(np.stack([f.com for f in frames]))
+
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    prior = PCAPrior(
+        components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+        mean=np.zeros(42, np.float32),
+    )
+    est = FusedEstimator(model, cam, prior=prior, crop_method="onehot")
+    ref_joints, ref_com3d, ref_crops = est(variables, depth, com)
+
+    mesh = make_mesh(tp=2)  # dp=4 x tp=2 on the simulated 8 devices
+    sharded = ShardedEstimator(est, mesh, variables)
+    joints, com3d, crops = sharded(depth, com)
+
+    np.testing.assert_array_equal(np.asarray(crops), np.asarray(ref_crops))
+    np.testing.assert_allclose(
+        np.asarray(joints), np.asarray(ref_joints), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(com3d), np.asarray(ref_com3d))
+
+    # replicated-params variant (dp-only mesh)
+    mesh_dp = make_mesh(tp=1)
+    sharded_dp = ShardedEstimator(est, mesh_dp, variables, tp_params=False)
+    joints_dp, _, _ = sharded_dp(depth, com)
+    np.testing.assert_allclose(
+        np.asarray(joints_dp), np.asarray(ref_joints), rtol=1e-5, atol=1e-3
+    )
