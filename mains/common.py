@@ -78,6 +78,18 @@ def require_accelerator(retries: int = 30, wait_s: float = 10.0):
     )
 
 
+def _compute_dtype(args):
+    """Model compute dtype: bf16 when --bf16 (f32 master params; flax keeps
+    parameters f32 and casts activations/weights per-op), else f32."""
+    if getattr(args, "bf16", False):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
 def base_parser(desc: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("--data", default=None, help="dataset base path")
@@ -104,6 +116,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 parameters/optimizer state; "
+                        "the MXU's native dtype — ~matmul throughput x2). "
+                        "Losses/metrics stay f32.")
     p.add_argument("--packed-conv", action="store_true",
                    help="MXU lane-packed conv+pool layers (same parameters/"
                         "arithmetic, ~10x conv throughput on TPU; "
@@ -290,12 +306,16 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         rtype = getattr(args, "resnet_type", 2)
         has_dropout = rtype in (2, 3, 4)
         model = ResNet(
-            ResNetConfig(num_joints=1, n_dims=n_pca, dropout=has_dropout)
+            ResNetConfig(
+                num_joints=1, n_dims=n_pca, dropout=has_dropout,
+                dtype=_compute_dtype(args),
+                packed_conv=getattr(args, "packed_conv", False),
+            )
         )
     else:
         model = PoseRegNet(
             PoseRegNetConfig(
-                num_joints=1, n_dims=n_pca,
+                num_joints=1, n_dims=n_pca, dtype=_compute_dtype(args),
                 packed_conv=getattr(args, "packed_conv", False),
             )
         )
@@ -411,7 +431,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
 
     model = ScaleNet(
         ScaleNetConfig(
-            num_joints=1, n_dims=3,
+            num_joints=1, n_dims=3, dtype=_compute_dtype(args),
             packed_conv=getattr(args, "packed_conv", False),
         )
     )

@@ -99,3 +99,22 @@ def test_bench_batch1_mode(tmp_path):
     rec = json.loads(lines[0])
     assert rec["metric"] == "batch1_serving_ms"
     assert rec["value"] >= 0 and rec["dispatch_inclusive_ms"] >= 0
+
+
+def test_main_bf16_packed(tmp_path):
+    """--bf16 --packed-conv trains and evaluates (compute-dtype and the
+    lane-packed conv path through the full main)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "mains", "main_nyu_posereg_embedding.py"),
+            "--synthetic", "--epochs", "2", "--nmax", "48",
+            "--batch-size", "16", "--bf16", "--packed-conv",
+            "--out", str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "epoch 1" in out.stdout
