@@ -192,6 +192,20 @@ def main():
                 "pallas vs onehot mismatch on device"
             pallas_msg = "pallas==onehot bit-exact"
 
+            # the narrowed dataset-geometry window (bench default path)
+            # must stay bit-exact under real Mosaic lowering too
+            from deepprior_tpu.ops.pallas_crop import band_rows_for
+
+            rows = band_rows_for(cam.fy, cube[2], 500.0)
+            p_win = np.asarray(
+                pallas_normalized_crop(
+                    dpt_c, com_j, cube, cam.fx, cam.fy, win_rows=rows
+                )[0]
+            )
+            assert (p_win == onehot_norm).all(), \
+                f"pallas win_rows={rows} mismatch on device"
+            pallas_msg += f", win{rows} bit-exact"
+
             # ICVL-sized frames take the 160-row banded window; must stay
             # bit-exact vs the XLA one-hot path on device
             from deepprior_tpu.camera import ICVL_CAMERA
