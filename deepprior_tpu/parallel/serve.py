@@ -37,6 +37,15 @@ class ShardedEstimator:
     replicated); per-call frame batches are sharded over the dcn/dp axes.
     The batch must divide the data-axis size (pad to a multiple — the
     pipeline is pure, so padded rows are discarded by the caller).
+
+    Two compilation modes:
+    - pure data-parallel mesh (tp == 1): `shard_map` runs the unchanged
+      pipeline — including the Pallas crop kernel — per device on its
+      shard, zero collectives;
+    - tp > 1: GSPMD partitions the whole program (FC weights sharded
+      Megatron-style); since GSPMD cannot partition `pallas_call`, the
+      crop switches to the XLA one-hot path (bit-identical output,
+      ~1.3x slower crop).
     """
 
     def __init__(
@@ -50,17 +59,53 @@ class ShardedEstimator:
         self.mesh = mesh
         self._bsh3 = batch_sharding(mesh, 3)  # (B, H, W) depth
         self._bsh2 = batch_sharding(mesh, 2)  # (B, 3) com
-        if tp_params and "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        tp = tp_params and "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+        if tp:
             vsh = param_shardings(variables, mesh)
         else:
             vsh = tree_shardings_like(variables, replicated(mesh))
         self.variables = jax.device_put(variables, vsh)
-        self._fn = jax.jit(
-            est._pipeline,
-            in_shardings=(vsh, self._bsh3, self._bsh2),
-            # (joints (B,J,3), com3d (B,3), crops (B,dh,dw))
-            out_shardings=(self._bsh3, self._bsh2, self._bsh3),
-        )
+
+        pipeline = est._pipeline
+        if tp:
+            # GSPMD partitions the whole program, but it has no
+            # partitioning rule for pallas_call — use the XLA one-hot crop
+            # (every op partitionable) when the FC weights are tp-sharded
+            if est.crop_method == "pallas":
+                import copy
+
+                est2 = copy.copy(est)
+                est2.crop_method = "onehot"
+                pipeline = est2._pipeline
+            self._fn = jax.jit(
+                pipeline,
+                in_shardings=(vsh, self._bsh3, self._bsh2),
+                # (joints (B,J,3), com3d (B,3), crops (B,dh,dw))
+                out_shardings=(self._bsh3, self._bsh2, self._bsh3),
+            )
+        else:
+            # pure data-parallel: shard_map runs the UNCHANGED pipeline
+            # (incl. the Pallas crop kernel) independently per device on
+            # its batch shard — no collectives at all
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from deepprior_tpu.parallel.mesh import batch_axes
+
+            bspec = P(batch_axes(mesh))
+            self._fn = jax.jit(
+                shard_map(
+                    pipeline,
+                    mesh=mesh,
+                    in_specs=(P(), bspec, bspec),
+                    out_specs=(bspec, bspec, bspec),
+                    # pallas_call's out ShapeDtypeStruct carries no vma
+                    check_vma=False,
+                )
+            )
 
     def place_batch(self, depth, com) -> Tuple[Any, Any]:
         """Shard a host/replicated batch over the mesh's data axes."""

@@ -276,3 +276,35 @@ def test_sharded_estimator_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(joints_dp), np.asarray(ref_joints), rtol=1e-5, atol=1e-3
     )
+
+
+def test_sharded_estimator_pallas_shard_map():
+    """The dp-only path routes through shard_map with the Pallas crop
+    kernel intact: tracing must succeed with per-shard batch shapes (full
+    interpret-mode execution is minutes-slow on CPU; the kernel itself is
+    covered by tests/test_pallas_crop.py and BENCH_CHECK on device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.parallel import ShardedEstimator, make_mesh
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    cam = NYU_CAMERA
+    model = PoseRegNet(PoseRegNetConfig(num_joints=2, n_dims=3,
+                                        dropout=False))
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 1))
+    )
+    est = FusedEstimator(model, cam, crop_method="pallas")
+    mesh = make_mesh(tp=1)
+    sharded = ShardedEstimator(est, mesh, variables, tp_params=False)
+    out = jax.eval_shape(
+        sharded._fn,
+        sharded.variables,
+        jax.ShapeDtypeStruct((8, 480, 640), jnp.float32),
+        jax.ShapeDtypeStruct((8, 3), jnp.float32),
+    )
+    assert out[0].shape == (8, 2, 3)
+    assert out[2].shape == (8, 128, 128)
