@@ -97,3 +97,50 @@ def test_augment_pallas_flag_matches_gather():
         )
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_warp_separable_fast_path_exact():
+    """Axis-aligned transforms (com/sc/none augment modes) take the
+    two-matmul separable branch and still match the gather reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = _rand_patches(b=4, seed=7)
+    ms = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    # scale + translate only: m01 == m10 == 0
+    ms[0, 0, 0], ms[0, 1, 1] = 1.17, 1.17
+    ms[0, 0, 2], ms[0, 1, 2] = -9.25, 4.5
+    ms[1, 0, 0], ms[1, 1, 1] = 0.83, 0.79
+    ms[1, 0, 2], ms[1, 1, 2] = 30.0, -17.75
+    ms[2, 0, 2], ms[2, 1, 2] = 200.0, 0.0  # shifts out of frame -> border
+    ref = np.asarray(warp_patch(patches, ms))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pallas_warp_patch(patches, jnp.asarray(ms)))
+    mismatch = np.mean(out != ref)
+    assert mismatch < 1e-4, f"{mismatch:.6f} of pixels differ"
+
+
+def test_pallas_warp_mixed_batch_routes_both_paths():
+    """A batch mixing rotations with axis-aligned transforms merges the two
+    kernel outputs correctly per sample."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = _rand_patches(b=4, seed=11)
+    ms = np.stack(
+        [
+            np.asarray(rotation_matrix_2d(np.array([64.0, 64.0]), 71.0)),
+            np.eye(3, dtype=np.float32),
+            np.asarray(rotation_matrix_2d(np.array([64.0, 64.0]), -13.0)),
+            np.diag([0.9, 1.1, 1.0]).astype(np.float32),
+        ]
+    ).astype(np.float32)
+    ref = np.asarray(warp_patch(patches, ms))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(pallas_warp_patch(patches, jnp.asarray(ms)))
+    mismatch = np.mean(out != ref)
+    assert mismatch < 1e-4, f"{mismatch:.6f} of pixels differ"
+    # identity sample must be bit-exact passthrough
+    np.testing.assert_array_equal(out[1], patches[1])
