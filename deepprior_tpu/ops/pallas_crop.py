@@ -142,9 +142,10 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
         is separable, so it is STILL two matmuls, just with weighted
         selectors (matches ops.crop._crop3d_bilinear_onehot_batch).
 
-        HIGHEST precision: the MXU's default 1-pass bf16 would quantize
-        the selected depth values; bf16x3 is exact for one-hot selection
-        of f32 values and keeps bilinear to f32 round-off.
+        Precision: the MXU's default 1-pass bf16 would quantize the
+        selected depth values.  Nearest uses the exact value-side bf16x3
+        split (ops/exact_mxu.py — bit-exact, 3 one-pass matmuls);
+        bilinear's weighted selectors keep HIGHEST (f32 round-off).
 
         With clamp=True the constructor's depth clamping (clamp_depth)
         applies to the window values right here — cleaning ~0.2 MB of
@@ -158,25 +159,36 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
         hh = jax.lax.broadcasted_iota(jnp.int32, (dh, sh), 1).astype(jnp.float32)
         ww = jax.lax.broadcasted_iota(jnp.int32, (dw, sw), 1).astype(jnp.float32)
         if bilinear:
+            # weighted two-tap selectors are not bf16-exact: keep HIGHEST
             q0 = jnp.floor(q_rel)
             fq = q_rel - q0
             rowsel = (hh == q0) * (1.0 - fq) + (hh == q0 + 1.0) * fq
             p0c = jnp.floor(p_rel).reshape(dw, 1)
             fpc = p_rel.reshape(dw, 1) - p0c
             colsel = (ww == p0c) * (1.0 - fpc) + (ww == p0c + 1.0) * fpc
-        else:
-            rowsel = (hh == q_rel).astype(jnp.float32)  # (dh, src_h)
-            colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.float32)
-        rows = jnp.dot(
-            rowsel, src,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            rows = jnp.dot(
+                rowsel, src,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jax.lax.dot_general(
+                rows, colsel,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (dh, dw)
+        # nearest: one-hot selectors are bf16-exact, so three 1-pass bf16
+        # matmuls with the value side split (ops/exact_mxu.py) give the
+        # bit-exact f32 selection ~2.4x faster than HIGHEST
+        from deepprior_tpu.ops.exact_mxu import (
+            dot_general_vals_onehot, dot_onehot_vals,
         )
-        return jax.lax.dot_general(
-            rows, colsel,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+
+        rowsel = (hh == q_rel).astype(jnp.bfloat16)  # (dh, src_h)
+        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.bfloat16)
+        rows = dot_onehot_vals(rowsel, src)
+        return dot_general_vals_onehot(
+            rows, colsel, (((1,), (1,)), ((), ()))
         )  # (dh, dw)
 
     def epilogue(d):

@@ -53,44 +53,12 @@ from deepprior_tpu.geometry import inv3x3
 ROW_CHUNK = 32
 
 
-def _split3_bf16(x):
-    """Exact 3-term bf16 decomposition of f32: x == a1 + a2 + a3.
-
-    a1 captures the top 8 mantissa bits (round-to-nearest), the residual
-    r1 = x - a1 is exact in f32 (<= 15 significant bits), a2 the next 8,
-    and the final residual has <= 8 significant bits so a3 == r2 exactly.
-    """
-    a1 = x.astype(jnp.bfloat16)
-    r1 = x - a1.astype(jnp.float32)
-    a2 = r1.astype(jnp.bfloat16)
-    r2 = r1 - a2.astype(jnp.float32)
-    a3 = r2.astype(jnp.bfloat16)
-    return a1, a2, a3
-
-
-def _dot_vals_onehot(vals_f32, onehot_bf16):
-    """vals (M, K) f32 @ one-hot (K, N) bf16, exact for f32 values.
-
-    Selection by a 0/1 matrix touches exactly one value per output; each
-    bf16 term of the split is selected exactly (bf16 * 1.0, f32
-    accumulate), and a1 + a2 + a3 reconstructs the f32 bit pattern.  Three
-    1-pass bf16 matmuls at DEFAULT — measured 2.4x faster on v5e than one
-    f32 x f32 matmul at HIGHEST (which must split *both* operands).
-    """
-    a1, a2, a3 = _split3_bf16(vals_f32)
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return (
-        d(a1, onehot_bf16) + d(a2, onehot_bf16) + d(a3, onehot_bf16)
-    )
-
-
-def _dot_onehot_vals(onehot_bf16, vals_f32):
-    """one-hot (M, K) bf16 @ vals (K, N) f32 — mirror of _dot_vals_onehot."""
-    a1, a2, a3 = _split3_bf16(vals_f32)
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    return (
-        d(onehot_bf16, a1) + d(onehot_bf16, a2) + d(onehot_bf16, a3)
-    )
+# exact f32 selection on the bf16 MXU — see ops/exact_mxu.py for the
+# exactness argument and measurements
+from deepprior_tpu.ops.exact_mxu import (
+    dot_onehot_vals as _dot_onehot_vals,
+    dot_vals_onehot as _dot_vals_onehot,
+)
 
 
 def _warp_kernel(params_ref, img_ref, out_ref, ci, *, hw, border, nv_val):
