@@ -20,8 +20,21 @@ restores the full mantissa.
 Weighted selectors (bilinear two-tap rows) are NOT bf16-exact — those
 matmuls must keep HIGHEST.
 
-Works identically inside Pallas kernels and at the XLA level (the
-formulation is plain dot + add).
+SAFE ONLY INSIDE PALLAS KERNELS (or with host-computed terms).  At the
+XLA level the algebraic simplifier reassociates the sum of three dots
+sharing an operand back into one dot of the bf16 sum —
+dot(A,B1)+dot(A,B2)+dot(A,B3) -> dot(A, B1+B2+B3) — which collapses the
+split to plain bf16 and silently loses the residual terms.  Measured on
+the v5e (prof_xla_split.py): device-computed split + 3 einsums is wrong
+on ~100% of elements (max err = one bf16 ulp of the depth, ~4 mm at
+1.5 m); `lax.optimization_barrier` around the terms OR around each dot
+output does NOT prevent the rewrite through this backend; the identical
+dots fed host-precomputed terms are bit-exact, as is the split itself.
+There is also no speed to win there: at XLA level the split is
+flop-equivalent to HIGHEST (1.57 vs 1.59 ms for the selection shape,
+docs/ROADMAP.md round-3 findings).  Keep XLA-level exact selections on
+`Precision.HIGHEST`; use these helpers from Pallas kernel bodies, where
+Mosaic lowers the three dots as written.
 """
 
 from __future__ import annotations
