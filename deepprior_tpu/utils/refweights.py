@@ -18,9 +18,14 @@ main scripts).  ResNet pickles interleave BatchNorm running stats in
 params_nontrained; `resnet_params_from_reference` walks the emission
 order and converts BN inv_std -> variance exactly.
 
-Verified by round-trip tests (flax -> reference layout -> flax); Theano is
-not available in this image to cross-check against live reference nets,
-so the two convention notes above are load-bearing.
+Verified two ways (tests/test_refweights.py): round-trip tests
+(flax -> reference layout -> flax), and an INDEPENDENT numpy
+implementation of the reference's own forward semantics (true
+convolution in OIHW over NCHW, bias before ignore_border pooling, NCHW
+flatten, and the BN inv_std formula) that must agree with the imported
+flax nets — so a self-consistent-but-wrong convention cannot slip
+through.  Theano itself is not available in this image to cross-check
+against live reference nets.
 """
 
 from __future__ import annotations

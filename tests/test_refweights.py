@@ -100,6 +100,106 @@ def test_scalenet_import_structure():
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def _np_reference_convpool(x_nchw, w_oihw, b, pool):
+    """The REFERENCE ConvPoolLayer forward, written straight from its
+    semantics (convpoollayer.py:39-305) in plain numpy: Theano conv2d is
+    TRUE convolution (filter_flip=True) in OIHW over NCHW, valid padding;
+    bias is added before the pool; pool_2d(ignore_border=True) floors odd
+    extents; then ReLU.  Deliberately independent of utils/refweights.py
+    so the two can disagree."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wf = w_oihw[:, :, ::-1, ::-1]  # true convolution = flipped correlation
+    win = sliding_window_view(x_nchw, wf.shape[-2:], axis=(2, 3))
+    y = np.einsum("bchwuv,ocuv->bohw", win, wf, optimize=True)
+    y = y + b[None, :, None, None]
+    ph, pw = pool
+    if (ph, pw) != (1, 1):
+        n, o, h, w = y.shape
+        y = y[:, :, : h // ph * ph, : w // pw * pw]
+        y = y.reshape(n, o, h // ph, ph, w // pw, pw).max(axis=(3, 5))
+    return np.maximum(y, 0.0)
+
+
+def test_poseregnet_numpy_reference_forward():
+    """Convention cross-check BEYOND round-trip: a random reference-layout
+    net is run through an independent numpy implementation of the
+    reference's own forward (true conv, NCHW, bias-before-pool,
+    ignore_border pooling, NCHW flatten into the FC stack;
+    poseregnet.py:61-143) and through import + flax apply.  The round-trip
+    test stays green under a self-consistent-but-wrong kernel flip or
+    flatten permutation; this one does not."""
+    rng = np.random.default_rng(11)
+    conv_specs = [(8, 1, 5, 5, (4, 4)), (8, 8, 5, 5, (2, 2)),
+                  (8, 8, 3, 3, (1, 1))]
+    layers, num = {}, 0
+    for o, i, kh, kw, _ in conv_specs:
+        layers[num] = [
+            (rng.standard_normal((o, i, kh, kw)) * 0.2).astype(np.float32),
+            rng.standard_normal((o,)).astype(np.float32),
+        ]
+        num += 1
+    for j, (fi, fo) in enumerate([(968, 1024), (1024, 1024), (1024, 42)]):
+        layers[num] = [
+            (rng.standard_normal((fi, fo)) / np.sqrt(fi)).astype(np.float32),
+            (rng.standard_normal((fo,)) * 0.1).astype(np.float32),
+        ]
+        num += 1
+        if j < 2:
+            layers[num] = []  # dropout: no params
+            num += 1
+
+    x_nchw = rng.uniform(-1.0, 1.0, (2, 1, 128, 128)).astype(np.float32)
+
+    y = x_nchw
+    for (_, _, _, _, pool), n in zip(conv_specs, range(3)):
+        y = _np_reference_convpool(y, layers[n][0], layers[n][1], pool)
+    assert y.shape == (2, 8, 11, 11)
+    y = y.reshape(2, -1)  # NCHW flatten order
+    for j, n in enumerate([3, 5, 7]):
+        y = y @ layers[n][0] + layers[n][1]
+        if j < 2:
+            y = np.maximum(y, 0.0)
+
+    model = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3))
+    restored = poseregnet_params_from_reference(layers)
+    out = model.apply(restored, x_nchw.transpose(0, 2, 3, 1), train=False)
+    np.testing.assert_allclose(np.asarray(out), y, rtol=1e-4, atol=2e-4)
+
+
+def test_bn_invstd_reference_formula():
+    """The reference BatchNorm applies gamma*(x-mean)*inv_std + beta with
+    stored inv_std = 1/sqrt(var + 1e-4) (batchnormlayer.py:141-155); the
+    importer maps var' = inv_std^-2 - eps_flax so flax's
+    1/sqrt(var' + eps_flax) reproduces inv_std.  Check against the
+    reference formula itself, not a round-trip."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(5)
+    c = 16
+    mean = rng.uniform(-1, 1, c).astype(np.float32)
+    var_ref = rng.uniform(0.2, 2.0, c).astype(np.float32)
+    inv_std = (1.0 / np.sqrt(var_ref + 1e-4)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    beta = rng.uniform(-0.5, 0.5, c).astype(np.float32)
+    x = rng.standard_normal((4, 7, 7, c)).astype(np.float32)
+
+    want = gamma * (x - mean) * inv_std + beta
+
+    eps_flax = 1e-5
+    var = 1.0 / np.square(inv_std) - eps_flax  # the importer's conversion
+    bn = nn.BatchNorm(use_running_average=True, epsilon=eps_flax,
+                      momentum=0.9)
+    got = bn.apply(
+        {
+            "params": {"scale": gamma, "bias": beta},
+            "batch_stats": {"mean": mean, "var": var.astype(np.float32)},
+        },
+        x,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
 def test_resnet_import_roundtrip():
     """ResNet-47-family pickle mapping: emission-order walk (BN/NL/Conv
     blocks + projection shortcut), BN inv_std -> var conversion, head
