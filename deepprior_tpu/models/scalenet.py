@@ -20,7 +20,15 @@ from typing import Any, NamedTuple, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deepprior_tpu.models.layers import ConvPool, MLPHead, max_pool
+import jax
+
+from deepprior_tpu.models.layers import (
+    ConvPool,
+    MLPHead,
+    he_init,
+    max_pool,
+    packed_pool_kernel,
+)
 
 
 class ScaleNetConfig(NamedTuple):
@@ -58,6 +66,51 @@ class _Tower(nn.Module):
         return x.reshape((x.shape[0], -1))
 
 
+class _SharedScaleConv(nn.Module):
+    """One shared conv layer whose call-site supplies the pool geometry.
+
+    The pool size is a call argument (not a module field) because the
+    SAME kernel/bias serve every scale tower while each tower pools
+    differently — and the MXU lane-packed formulation bakes the pool
+    phases into the contraction (layers._PackedConvPool math), so packing
+    must happen per call, from the one shared parameter set.  Parameter
+    names/shapes/inits equal nn.Conv's, keeping checkpoints
+    interchangeable with the previous nn.Conv-based sharing."""
+
+    features: int
+    kernel: Tuple[int, int]
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, pool: Tuple[int, int], packed: bool):
+        kh, kw = self.kernel
+        kernel = self.param(
+            "kernel", he_init, (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        if packed and min(pool) > 1:
+            ph, pw = pool
+            k2 = packed_pool_kernel(kernel, pool).astype(self.dtype)
+            z = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k2, window_strides=pool,
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z = z + jnp.tile(bias.astype(self.dtype), ph * pw)
+            b, oh, ow, _ = z.shape
+            return z.reshape(b, oh, ow, ph * pw, self.features).max(axis=3)
+        z = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        z = z + bias.astype(self.dtype)
+        return max_pool(z, pool)
+
+
 class _SharedConvTowers(nn.Module):
     """Scale towers sharing conv *kernels* with per-scale pooling.
 
@@ -65,26 +118,25 @@ class _SharedConvTowers(nn.Module):
     the towers' layers copy only W and b from tower 0
     (scalenet.py:179-180 -> convpoollayer.py:236-248) while each layer
     keeps its own cfgParams pooling — so the per-scale pooling schedules
-    (_POOLS) apply unchanged under sharing.
-    """
+    (_POOLS) apply unchanged under sharing.  packed=True computes each
+    (shared kernel, per-scale pool) pair via the MXU lane-packed strided
+    conv; pool-1 layers take the plain path (packing needs a pool)."""
 
     dtype: Any
+    packed: bool = False
 
     @nn.compact
     def __call__(self, xs):
         convs = [
-            nn.Conv(8, (k, k), padding="VALID",
-                    kernel_init=nn.initializers.variance_scaling(
-                        2.0, "fan_in", "normal"),
-                    dtype=self.dtype, name=f"shared_conv_{i}")
+            _SharedScaleConv(8, (k, k), dtype=self.dtype,
+                             name=f"shared_conv_{i}")
             for i, k in enumerate(_KERNELS)
         ]
         feats = []
         for scale, x in enumerate(xs):
             h = x.astype(self.dtype)
             for conv, p in zip(convs, _POOLS[scale]):
-                h = conv(h)
-                h = max_pool(h, (p, p))
+                h = conv(h, (p, p), self.packed)
                 h = nn.relu(h)
             feats.append(h.reshape((h.shape[0], -1)))
         return feats
@@ -120,7 +172,7 @@ class ScaleNet(nn.Module):
         assert len(xs) == 3, "ScaleNet type 1 takes 3 scale inputs"
         dt = self.cfg.dtype
         if self.cfg.shared_conv:
-            feats = _SharedConvTowers(dt)(xs)
+            feats = _SharedConvTowers(dt, self.cfg.packed_conv)(xs)
         else:
             feats = [
                 _Tower(_POOLS[i], dt, self.cfg.packed_conv)(x.astype(dt))

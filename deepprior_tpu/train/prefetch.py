@@ -32,10 +32,16 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._device = device
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
+        # A worker failure must NOT look like clean end-of-data to the
+        # consumer: a swallowed MemoryError/transfer error would end the
+        # epoch loop early and report a half-trained run as success.  The
+        # exception is carried across the thread and re-raised in
+        # __next__.
         try:
             for batch in self._host_iter:
                 if callable(self._device):
@@ -43,6 +49,8 @@ class DevicePrefetcher:
                 else:
                     staged = jax.device_put(batch, self._device)
                 self._q.put(staged)
+        except BaseException as exc:  # noqa: BLE001 - re-raised consumer-side
+            self._error = exc
         finally:
             self._q.put(self._done)
 
@@ -52,6 +60,10 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError(
+                    "DevicePrefetcher worker failed"
+                ) from self._error
             raise StopIteration
         return item
 

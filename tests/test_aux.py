@@ -30,6 +30,23 @@ def test_device_prefetcher():
     assert isinstance(out[0]["x"], jax.Array)
 
 
+def test_device_prefetcher_propagates_worker_errors():
+    """A failing host iterator (OOM, bad file, transfer error) must raise
+    in the consumer, not masquerade as clean end-of-data — otherwise
+    fit_streamed would end an epoch early and report a half-trained run
+    as success."""
+
+    def bad_iter():
+        yield {"x": np.zeros((4, 2), np.float32)}
+        raise MemoryError("staging failed")
+
+    it = DevicePrefetcher(bad_iter())
+    next(it)  # the good batch arrives
+    with pytest.raises(RuntimeError, match="worker failed") as ei:
+        next(it)
+    assert isinstance(ei.value.__cause__, MemoryError)
+
+
 def test_epoch_hooks_and_debug_activations():
     cam = NYU_CAMERA
     seq = make_sequence(cam, 32, num_joints=14, seed=7)

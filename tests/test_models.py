@@ -274,6 +274,34 @@ def test_packed_convpool_scalenet():
     )
 
 
+def test_packed_convpool_scalenet_shared():
+    """shared_conv + packed_conv compose: the shared kernels are packed
+    per-scale at apply time, the parameter tree is unchanged, and outputs
+    match the plain shared path with the same weights."""
+    import jax
+
+    from deepprior_tpu.models import ScaleNet, ScaleNetConfig
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+    plain = ScaleNet(ScaleNetConfig(dropout=False, shared_conv=True))
+    packed = ScaleNet(
+        ScaleNetConfig(dropout=False, shared_conv=True, packed_conv=True)
+    )
+    variables = plain.init(jax.random.key(0), x, train=False)
+    pv = packed.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(pv)
+    assert [tuple(l.shape) for l in jax.tree.leaves(variables)] == [
+        tuple(l.shape) for l in jax.tree.leaves(pv)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(variables, x, train=False)),
+        np.asarray(packed.apply(variables, x, train=False)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
 def test_packed_convpool_resnet_stem():
     """ResNet's packed stem (explicit SAME pad + fused conv/pool) matches
     the plain stem with the same parameter tree."""
