@@ -76,19 +76,27 @@ class HandCropper:
         return xstart, xend, ystart, yend, zstart, zend
 
     def get_crop(self, xstart, xend, ystart, yend, zstart, zend, thresh_z=True):
-        """Slice + constant-pad + z-threshold (handdetector.py:260-296)."""
+        """Slice + constant-pad + z-threshold (handdetector.py:260-296).
+
+        Deviation from the reference (documented, not reproduced): the
+        reference's `d[max(ystart,0):min(yend,h)]` slice wraps negatively
+        when the bbox lies entirely above/left of the image (yend < 0
+        slices from the image END), emitting real image rows where the
+        device paths (ops/crop.py in_img test) emit zero padding.  Here
+        the bbox is intersected with the image and everything outside is
+        zero — identical to the reference whenever any part of the bbox
+        overlaps the image, and matching the device paths always.
+        """
         d = self.dpt
         h, w = d.shape
-        crop = d[max(ystart, 0) : min(yend, h), max(xstart, 0) : min(xend, w)].copy()
-        crop = np.pad(
-            crop,
-            (
-                (abs(ystart) - max(ystart, 0), abs(yend) - min(yend, h)),
-                (abs(xstart) - max(xstart, 0), abs(xend) - min(xend, w)),
-            ),
-            mode="constant",
-            constant_values=0.0,
-        )
+        oh, ow = yend - ystart, xend - xstart
+        crop = np.zeros((max(oh, 0), max(ow, 0)), d.dtype)
+        y0, y1 = max(ystart, 0), min(yend, h)
+        x0, x1 = max(xstart, 0), min(xend, w)
+        if y1 > y0 and x1 > x0:
+            crop[y0 - ystart : y1 - ystart, x0 - xstart : x1 - xstart] = d[
+                y0:y1, x0:x1
+            ]
         if thresh_z:
             near = (crop < zstart) & (crop != 0)
             crop[near] = zstart

@@ -114,19 +114,23 @@ class DepthImporter:
         if not (self.use_cache and os.path.isfile(path)):
             return None
         z = np.load(path, allow_pickle=False)
-        n = z["dpt"].shape[0]
+        # materialize each member ONCE: NpzFile.__getitem__ re-decompresses
+        # the whole member on every access, so indexing z[k][i] in the loop
+        # would be O(n^2) (same fix as synthetic.py make_sequence)
+        a = {k: z[k] for k in z.files}
+        n = a["dpt"].shape[0]
         frames = [
             DepthFrame(
-                dpt=z["dpt"][i],
-                gtorig=z["gtorig"][i],
-                gtcrop=z["gtcrop"][i],
-                T=z["T"][i],
-                gt3Dorig=z["gt3Dorig"][i],
-                gt3Dcrop=z["gt3Dcrop"][i],
-                com=z["com"][i],
-                fileName=str(z["fileName"][i]),
-                subSeqName=str(z["subSeqName"][i]),
-                side=str(z["side"][i]),
+                dpt=a["dpt"][i],
+                gtorig=a["gtorig"][i],
+                gtcrop=a["gtcrop"][i],
+                T=a["T"][i],
+                gt3Dorig=a["gt3Dorig"][i],
+                gt3Dcrop=a["gt3Dcrop"][i],
+                com=a["com"][i],
+                fileName=str(a["fileName"][i]),
+                subSeqName=str(a["subSeqName"][i]),
+                side=str(a["side"][i]),
             )
             for i in range(n)
         ]
@@ -200,7 +204,6 @@ class DepthImporter:
         """
         import jax.numpy as jnp
 
-        from deepprior_tpu.geometry import transform_points_2d
         from deepprior_tpu.ops.com import check_image, refine_com_iterative
         from deepprior_tpu.ops.crop import clamp_depth, crop3d, crop_transform
 
@@ -237,7 +240,11 @@ class DepthImporter:
             crop = np.asarray(crop)
             m_np = np.asarray(m)
             com_np = np.asarray(com)
-            com3d = np.asarray(cam.img_to_3d(com_np))
+            # host twins for the per-frame annotation math: an eager jnp
+            # op here would be a per-frame accelerator round trip (the
+            # same class of dispatch cost this batched path exists to
+            # avoid; cf. camera.py numpy-twins note)
+            com3d = cam.img_to_3d_np(com_np)
             for i, r in enumerate(part):
                 if not keep[i]:
                     continue
@@ -246,7 +253,8 @@ class DepthImporter:
                         dpt=crop[i],
                         gtorig=gtorig[i],
                         gtcrop=np.asarray(
-                            transform_points_2d(gtorig[i], m_np[i]), np.float32
+                            transform_points_2d_np(gtorig[i], m_np[i]),
+                            np.float32,
                         ),
                         T=m_np[i],
                         gt3Dorig=np.asarray(r["gt3Dorig"], np.float32),

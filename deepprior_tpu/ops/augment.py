@@ -111,7 +111,11 @@ def augment_batch(
 
     # zero-out parameters for non-selected modes, as the reference does
     off = jnp.where(is_mode["com"][:, None], off, 0.0)
-    rot = jnp.where(is_mode["rot"], rot, 0.0)
+    # mod ONCE, before both the image matrix and the label rotation use
+    # the angle (rotateHand mods up front, handdetector.py:729) — modding
+    # only one of the two would rotate pixels and labels by angles a ulp
+    # apart
+    rot = jnp.mod(jnp.where(is_mode["rot"], rot, 0.0), 360.0)
     sc = jnp.where(is_mode["sc"], sc, 1.0)
 
     # ---- unnormalize to mm (nettrainer.py:948-952) ----
@@ -163,7 +167,7 @@ def augment_batch(
     # rotation applied to the labels below, so a blob and its label land
     # on the same pixel.
     a_rot = rotation_matrix_2d(
-        jnp.broadcast_to(center, (b, 2)), jnp.mod(rot, 360.0)
+        jnp.broadcast_to(center, (b, 2)), rot
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
     a_fwd = jnp.where(
@@ -176,7 +180,9 @@ def augment_batch(
     # the Pallas MXU warp is ~8x faster on TPU; the gather path is the
     # reference for CPU/tests (bit-identical results, see test_pallas_warp)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and (h % 32 == 0)
+        from deepprior_tpu.ops.pallas_warp import ROW_CHUNK
+
+        use_pallas = jax.default_backend() == "tpu" and (h % ROW_CHUNK == 0)
     if use_pallas:
         from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
 

@@ -131,9 +131,12 @@ def _embed_geometry(xstart, xend, ystart, yend, dsize):
     hb = yend - ystart
     wide = wb > hb
     scale = jnp.where(wide, dw / wb, dh / hb)
-    # py2 integer division in the reference -> floor
-    sz_w = jnp.where(wide, float(dw), jnp.floor(wb * dh / hb))
-    sz_h = jnp.where(wide, jnp.floor(hb * dw / wb), float(dh))
+    # py2 integer division in the reference -> floor.  _exact_floor_div,
+    # not plain floor(a/b): the backend's a*(1/b) rewrite flips the floor
+    # at exact-integer quotients — e.g. the square-bbox case wb == hb
+    # (cubic cube, fx == fy), where sz must come out exactly dsize.
+    sz_w = jnp.where(wide, float(dw), _exact_floor_div(wb * dh, hb))
+    sz_h = jnp.where(wide, _exact_floor_div(hb * dw, wb), float(dh))
     off_x = jnp.floor(dw / 2.0 - sz_w / 2.0)
     off_y = jnp.floor(dh / 2.0 - sz_h / 2.0)
     return scale, off_x, off_y, sz_w, sz_h

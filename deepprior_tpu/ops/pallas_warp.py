@@ -109,8 +109,11 @@ def _sep_warp_kernel(params_ref, img_ref, *, hw, border, nv_val):
 
     Bit-compatible with the general path: with m01 == m10 == 0 the source
     coordinates reduce to p(u) = inv00*u + inv02 and q(v) = inv11*v + inv12
-    (the dropped terms are exact float zeros), and each one-hot matmul at
-    HIGHEST selects f32 values exactly.
+    (the dropped terms are exact float zeros), and each one-hot selection
+    uses the bf16x3 value-side split (ops/exact_mxu.py) — bit-exact for
+    one-hot selectors, and safe HERE because Mosaic lowers the three dots
+    as written (the split must NOT be hoisted to XLA level, where the
+    simplifier reassociates it away — see exact_mxu.py).
     """
     h, w = hw
     i = pl.program_id(0)

@@ -185,6 +185,34 @@ def test_warp_patch_nv_val():
     np.testing.assert_array_equal(out, 0.0)
 
 
+def test_off_image_bbox_host_device_agree():
+    """A CoM whose bbox lies entirely off-image (corrupt label) must give
+    all-background crops from BOTH the host oracle and the device paths —
+    the reference's negative-wrap slice (d[0:yend] with yend < 0) emitted
+    real image rows here; the oracle deviates (documented in get_crop)."""
+    cam = NYU_CAMERA
+    rng = np.random.default_rng(2)
+    dpt = rng.uniform(800.0, 1200.0, (cam.height, cam.width)).astype(
+        np.float32
+    )
+    cube = (250.0, 250.0, 250.0)
+    com = np.array([-400.0, -400.0, 700.0], np.float32)  # far above-left
+
+    hc = HandCropper(dpt, cam)
+    xs, xe, ys, ye, zs, ze = hc.com_to_bounds(com, cube)
+    assert ye < 0 and xe < 0  # genuinely off-image both axes
+    host = hc.get_crop(xs, xe, ys, ye, zs, ze)
+    assert host.shape == (ye - ys, xe - xs)
+    np.testing.assert_array_equal(host, 0.0)
+
+    crop, _ = crop3d(
+        dpt[None], com[None], np.asarray(cube, np.float32), cam.fx, cam.fy
+    )
+    # device: out-of-image selects zero; normalize step not applied here,
+    # so the raw crop is the zero-padded source region
+    np.testing.assert_array_equal(np.asarray(crop)[0], 0.0)
+
+
 def test_ill_defined_com_fallback():
     """com_z ~ 0 -> centered half-frame crop (handdetector.py:211-218)."""
     xs, xe, ys, ye, zs, ze = com_to_bounds(
