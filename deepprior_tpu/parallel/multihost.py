@@ -70,6 +70,15 @@ def process_local_batch_slice(global_batch: int) -> slice:
     Hosts feed only their local shard of the dp axis; with GSPMD the
     per-host arrays combine into the global sharded batch.
     """
-    per = global_batch // jax.process_count()
+    count = jax.process_count()
+    if global_batch % count:
+        # silent truncation would make the hosts jointly feed fewer rows
+        # than the global shape expects (shape-mismatch at assembly, or a
+        # dropped tail sample every step)
+        raise ValueError(
+            f"global_batch {global_batch} not divisible by "
+            f"process_count {count}"
+        )
+    per = global_batch // count
     start = per * jax.process_index()
     return slice(start, start + per)

@@ -70,10 +70,12 @@ class DistributedTrainer(Trainer):
         )
 
     def stream_put(self, batch: dict) -> dict:
-        """Stage one streamed host batch sharded over the mesh's data axes
-        (used by fit_streamed's DevicePrefetcher): each host batch lands
-        split across the dcn/dp devices, and the step's
-        with_sharding_constraint is then a no-op instead of a reshard."""
+        """Stage one (batch, ...) host batch sharded over the mesh's data
+        axes — the per-batch variant for chunked_epochs-style iterators
+        (fit_streamed itself stages macro chunks via stream_put_chunk
+        below): the batch lands split across the dcn/dp devices, and the
+        step's with_sharding_constraint is then a no-op instead of a
+        reshard."""
         out = {}
         for k, v in batch.items():
             spec = P(*((self._batch_axes,) + (None,) * (v.ndim - 1)))

@@ -135,7 +135,9 @@ class SyntheticDevice(CameraDevice):
             np.float32,
         )
         pose = synthetic_hand_pose(self.rng, 14, spread_mm=60.0)
-        dpt = render_depth(cam, np.asarray(cam.img_to_3d(com)), pose)
+        # host twin: an eager jnp op here would be a per-frame device
+        # round trip from a no-device latency fixture (camera.py twins)
+        dpt = render_depth(cam, cam.img_to_3d_np(com), pose)
         if self.mirror:
             dpt = dpt[:, ::-1]
         return True, dpt

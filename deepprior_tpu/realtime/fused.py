@@ -75,11 +75,40 @@ class FusedEstimator:
                 camera.fy, float(cube[2]), min_depth_mm
             )
         self._fn = jax.jit(self._pipeline)
+        self._fn_cfg = jax.jit(
+            self._pipeline_cfg, static_argnames=("invx", "invy")
+        )
 
     # ------------------------------------------------------------------
     def _pipeline(self, variables, depth, com):
         """depth: (B, H, W) raw mm; com: (B, 3) image coords (ignored when
-        self.detect).  Returns (joints3d_mm (B, J, 3), com3d, crops)."""
+        self.detect).  Returns (joints3d_mm (B, J, 3), com3d, crops).
+
+        Fixed-config entry (constructor cube, no mirroring) — the shape
+        ShardedEstimator partitions.  The realtime pipeline calls
+        _pipeline_cfg, which takes the live per-frame config."""
+        b = depth.shape[0]
+        return self._pipeline_cfg(
+            variables, depth, com,
+            jnp.broadcast_to(self.cube, (b, 3)),
+            jnp.zeros((b,), jnp.bool_),
+        )
+
+    def _pipeline_cfg(
+        self, variables, depth, com, cube, mirror, invx=False, invy=False
+    ):
+        """Full pipeline with the runtime knobs traced: cube (B, 3) mm —
+        the LIVE config cube, so INIT hand-size calibration and +/- cube
+        resizing reach both the crop and the denormalization scale
+        (the reference re-reads sync['config']['cube'] every frame,
+        realtimehandposepipeline.py:330-336, 199) — and mirror (B,) bool:
+        the reference mirrors RIGHT-hand CROPS (the nets' canonical
+        orientation is a left hand) and flips the x of the RELATIVE pose
+        back after regression (:346-351, 366-369); the com3d /
+        denormalization always use the unmirrored detection.  Static
+        invx/invy flip the relative pose's y/x respectively — the
+        reference's swapped-index quirk (invX flips jj[:, 1], invY flips
+        jj[:, 0], :353-363) reproduced as-is."""
         cam = self.camera
         if self.crop_method == "pallas" and not self.detect \
                 and not self.refine_iters:
@@ -88,16 +117,16 @@ class FusedEstimator:
             from deepprior_tpu.ops.pallas_crop import pallas_normalized_crop
 
             crops, _ = pallas_normalized_crop(
-                depth, com, self.cube, cam.fx, cam.fy, self.dsize,
+                depth, com, cube, cam.fx, cam.fy, self.dsize,
                 fuse_clamp=True, win_rows=self.win_rows,
             )
         else:
             depth, _, _ = clamp_depth(depth)
             if self.detect:
-                com = detect_closest(depth, self.cube, cam.fx, cam.fy)
+                com = detect_closest(depth, cube, cam.fx, cam.fy)
             elif self.refine_iters:
                 com = refine_com_iterative(
-                    depth, com, self.cube, cam.fx, cam.fy, self.refine_iters
+                    depth, com, cube, cam.fx, cam.fy, self.refine_iters
                 )
             if self.crop_method == "pallas":
                 from deepprior_tpu.ops.pallas_crop import (
@@ -105,15 +134,16 @@ class FusedEstimator:
                 )
 
                 crops, _ = pallas_normalized_crop(
-                    depth, com, self.cube, cam.fx, cam.fy, self.dsize,
+                    depth, com, cube, cam.fx, cam.fy, self.dsize,
                     win_rows=self.win_rows,
                 )
             else:
                 crops, _ = normalized_crop(
-                    depth, com, self.cube, cam.fx, cam.fy, self.dsize,
+                    depth, com, cube, cam.fx, cam.fy, self.dsize,
                     method=self.crop_method,
                 )
-        out = self.model.apply(variables, crops[..., None], train=False)
+        net_in = jnp.where(mirror[:, None, None], crops[:, :, ::-1], crops)
+        out = self.model.apply(variables, net_in[..., None], train=False)
         if self.prior is not None:
             out = (
                 jnp.matmul(out, self.prior.components,
@@ -121,15 +151,38 @@ class FusedEstimator:
                 + self.prior.mean
             )
         pose = out.reshape(out.shape[0], -1, 3)
+        # relative-pose sign flips, exactly the reference's order/indices
+        flip = jnp.ones((pose.shape[0], 3), jnp.float32)
+        if invx:  # reference invX flips index 1 (realtimehandpose:355-358)
+            flip = flip * jnp.array([1.0, -1.0, 1.0], jnp.float32)
+        if invy:  # reference invY flips index 0 (:360-363)
+            flip = flip * jnp.array([-1.0, 1.0, 1.0], jnp.float32)
+        # un-mirror the x of mirrored (right-hand) poses (:366-369)
+        flip = flip.at[:, 0].mul(jnp.where(mirror, -1.0, 1.0))
+        pose = pose * flip[:, None, :]
         com3d = cam.img_to_3d(com)
-        joints = pose * (self.cube[2] / 2.0) + com3d[:, None, :]
+        joints = pose * (cube[:, 2] / 2.0)[:, None, None] + com3d[:, None, :]
         return joints, com3d, crops
 
-    def __call__(self, variables, depth, com=None):
+    def __call__(
+        self, variables, depth, com=None, cube=None, mirror=None,
+        invx=False, invy=False,
+    ):
+        b = depth.shape[0]
         if com is None:
-            b = depth.shape[0]
             com = jnp.zeros((b, 3), jnp.float32)
-        return self._fn(variables, depth, com)
+        if cube is None and mirror is None and not invx and not invy:
+            return self._fn(variables, depth, com)
+        cb = self.cube if cube is None else jnp.asarray(cube, jnp.float32)
+        cb = jnp.broadcast_to(cb, (b, 3))
+        mr = (
+            jnp.zeros((b,), jnp.bool_)
+            if mirror is None
+            else jnp.broadcast_to(jnp.asarray(mirror, jnp.bool_), (b,))
+        )
+        return self._fn_cfg(
+            variables, depth, com, cb, mr, invx=invx, invy=invy
+        )
 
     # ------------------------------------------------------------------
     def aot_compile(self, variables, batch: int, hw: Tuple[int, int]):

@@ -64,7 +64,7 @@ class RealtimeHandposePipeline:
 
         # state machine (realtimehandposepipeline.py:54-109)
         self.state = STATE_IDLE
-        self.hand = HAND_RIGHT
+        self.hand = HAND_LEFT  # reference default (realtimehandpose:96)
         self.tracking = False
         self.lastcom = np.zeros(3, np.float32)
         self.hand_sizes: list = []
@@ -169,26 +169,30 @@ class RealtimeHandposePipeline:
     def estimate_pose(self, frame: np.ndarray, com: np.ndarray) -> np.ndarray:
         """Device-side: fused crop+regress+decode at batch 1
         (realtimehandposepipeline.py:339-370 estimatePose + denormalize).
-        Left hands mirror the crop before regression."""
+
+        Reference conventions, reproduced exactly: the nets' canonical
+        orientation is a LEFT hand, so RIGHT hands mirror the CROP before
+        regression and flip the relative pose's x back afterwards
+        (:346-351, 366-369); the com3d/denormalization always use the
+        unmirrored detection; invX/invY flip the relative pose's y/x
+        (the reference's swapped-index quirk, :353-363).  The LIVE config
+        cube is passed per call, so INIT hand-size calibration and +/-
+        resizing reach the crop and the denormalization scale (:330-336).
+        All of it runs inside the one fused program (traced cube/mirror
+        args — no recompile on calibration or the 'h' key)."""
         t0 = time.perf_counter()
         import jax.numpy as jnp
 
-        f = frame
-        c = com.copy()
-        if self.hand == HAND_LEFT:
-            f = f[:, ::-1]
-            c = c.copy()
-            c[0] = f.shape[1] - 1 - c[0]
         joints, com3d, crops = self.estimator(
-            self.variables, jnp.asarray(f[None]), jnp.asarray(c[None])
+            self.variables,
+            jnp.asarray(frame[None]),
+            jnp.asarray(com[None]),
+            cube=np.asarray(self.config["cube"], np.float32),
+            mirror=np.asarray([self.hand == HAND_RIGHT]),
+            invx=bool(self.config.get("invX", False)),
+            invy=bool(self.config.get("invY", False)),
         )
         joints = np.asarray(joints)[0]
-        if self.hand == HAND_LEFT:
-            joints[:, 0] *= -1.0
-        if self.config.get("invX", False):
-            joints[:, 0] *= -1.0
-        if self.config.get("invY", False):
-            joints[:, 1] *= -1.0
         self.times["pose"] = time.perf_counter() - t0
         return joints
 

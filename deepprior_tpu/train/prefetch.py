@@ -33,8 +33,22 @@ class DevicePrefetcher:
         self._device = device
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._closed = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer closed us — a
+        worker blocked forever in q.put would otherwise pin the staged
+        device chunks for the life of the process after an abandoned
+        iteration (e.g. fit_streamed raising on a NaN cost)."""
+        while not self._closed.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         # A worker failure must NOT look like clean end-of-data to the
@@ -44,15 +58,36 @@ class DevicePrefetcher:
         # __next__.
         try:
             for batch in self._host_iter:
+                if self._closed.is_set():
+                    return
                 if callable(self._device):
                     staged = self._device(batch)
                 else:
                     staged = jax.device_put(batch, self._device)
-                self._q.put(staged)
+                if not self._put(staged):
+                    return
         except BaseException as exc:  # noqa: BLE001 - re-raised consumer-side
             self._error = exc
         finally:
-            self._q.put(self._done)
+            self._put(self._done)
+
+    def close(self):
+        """Release the worker and any staged batches (idempotent).  Safe
+        to call from a finally around a training loop that may abandon
+        iteration early."""
+        self._closed.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+        # an in-flight put racing the drain above can land one more item
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self

@@ -128,15 +128,6 @@ def _loss_from_targets(out, y):
     return jnp.mean(per_sample)
 
 
-def _error_from_targets(out, y):
-    """Mean Euclidean distance (poseregnettrainer.py:114-121)."""
-    if y.ndim == 2:
-        return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(out - y), axis=1)))
-    out3 = out.reshape(y.shape)
-    d = jnp.sqrt(jnp.sum(jnp.square(out3 - y), axis=2))
-    return jnp.mean(d)
-
-
 def _l2_penalty(params):
     # the reference regularizes conv/hidden W only (each layer's `weights`
     # list: convpoollayer.py:288, hiddenlayer.py:159) — never biases and
@@ -229,47 +220,19 @@ class Trainer:
 
         def minibatch_step(carry, idx, data: TrainData, lr):
             state, key = carry
+            # 3-way split (carry key first) — the historical RNG stream of
+            # the epoch scan, kept so existing traces/resume stay identical
             key, aug_key, drop_key = jax.random.split(key, 3)
             con = self.shard_batch or (lambda x: x)
-            crops = con(jnp.take(data.crops, idx, axis=0))
-            gt3d = con(jnp.take(data.gt3d_crop, idx, axis=0))
-            com = con(jnp.take(data.com, idx, axis=0))
-            cube = con(jnp.take(data.cube, idx, axis=0))
-            m = con(jnp.take(data.m, idx, axis=0))
-
-            if cfg.aug_modes:
-                crops, labels_norm, com, cube, m = augment_batch(
-                    aug_key, crops, gt3d, com, cube, m, self.camera,
-                    aug_modes=tuple(cfg.aug_modes),
-                    sigma_com=cfg.sigma_com,
-                    sigma_sc=cfg.sigma_sc,
-                    rot_range=cfg.rot_range,
-                    norm_zero_one=cfg.norm_zero_one,
-                )
-            else:
-                labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]
-            y = self._targets(labels_norm)
-
-            def loss_fn(params):
-                out, new_bs = self._apply(
-                    params, state.batch_stats, crops, True, drop_key
-                )
-                loss = _loss_from_targets(out, y)
-                if cfg.weightreg_factor > 0.0 and not cfg.model_has_dropout:
-                    loss = loss + cfg.weightreg_factor * _l2_penalty(params)
-                return loss, new_bs
-
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-            new_state = TrainState(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt,
-                step=state.step + 1,
+            batch = {
+                "crops": con(jnp.take(data.crops, idx, axis=0)),
+                "gt3d_crop": con(jnp.take(data.gt3d_crop, idx, axis=0)),
+                "com": con(jnp.take(data.com, idx, axis=0)),
+                "cube": con(jnp.take(data.cube, idx, axis=0)),
+                "m": con(jnp.take(data.m, idx, axis=0)),
+            }
+            new_state, loss = self._train_step_core(
+                state, batch, aug_key, drop_key, lr
             )
             return (new_state, key), loss
 
@@ -594,12 +557,13 @@ class Trainer:
         return state, self.history
 
     # ------------------------------------------------------------------
-    def _streamed_body(self, state, batch, key, lr):
-        """One training step over a staged batch dict (augment -> targets ->
-        fwd/bwd -> update).  Traced inside both the single-step jit and the
-        macro-chunk scan."""
+    def _train_step_core(self, state, batch, aug_key, drop_key, lr):
+        """THE training step (augment -> targets -> fwd/bwd -> reference
+        optimizer update) over a batch dict — the single source of truth
+        traced by the device-resident epoch scan (minibatch_step), the
+        streamed single-step jit, and the macro-chunk scan.  Callers own
+        the RNG-derivation convention for aug/drop keys."""
         cfg = self.cfg
-        aug_key, drop_key = jax.random.split(key)
         crops = batch["crops"]
         gt3d = batch["gt3d_crop"]
         com = batch["com"]
@@ -632,6 +596,12 @@ class Trainer:
         updates = jax.tree.map(lambda u: -lr * u, updates)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+    def _streamed_body(self, state, batch, key, lr):
+        """Streamed-path wrapper: 2-way key split (the streamed RNG
+        convention), then the shared step core."""
+        aug_key, drop_key = jax.random.split(key)
+        return self._train_step_core(state, batch, aug_key, drop_key, lr)
 
     def _build_step_fn(self):
         """Single-batch jitted step for streamed training (host-resident
@@ -718,14 +688,21 @@ class Trainer:
         t0 = time.time()
         costs: list = []
         done_steps = 0
-        for chunk in it:
-            epoch = done_steps // steps_per_epoch
-            state, key, losses = chunk_fn(
-                state, chunk, key, float(sched(epoch))
-            )
-            costs.append(losses)
-            done_steps += int(chunk["crops"].shape[0])
-            if done_steps % steps_per_epoch == 0:
+        lr, lr_epoch = 0.0, -1
+        try:
+            for chunk in it:
+                epoch = done_steps // steps_per_epoch
+                if epoch != lr_epoch:
+                    # evaluate the schedule once per EPOCH — sched is an
+                    # eager jnp expression, and a float() per chunk would
+                    # put a blocking device round trip back into the hot
+                    # loop macro-chunking exists to amortize
+                    lr, lr_epoch = float(sched(epoch)), epoch
+                state, key, losses = chunk_fn(state, chunk, key, lr)
+                costs.append(losses)
+                done_steps += int(chunk["crops"].shape[0])
+                if done_steps % steps_per_epoch != 0:
+                    continue
                 vals = np.concatenate(
                     [np.asarray(jax.device_get(c)) for c in costs]
                 )
@@ -754,6 +731,10 @@ class Trainer:
                 if snapshot_path and (epoch % cfg.snapshot_every) == 0:
                     self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
                 costs = []
+        finally:
+            # abandoning iteration early (an exception above) must not
+            # leave the worker blocked with staged device chunks pinned
+            it.close()
         if cfg.use_early_stopping and best[1] is not None:
             log(f"best params at epoch {best[3]} (val {best[0]:.3f}mm)")
             state = state.replace(

@@ -69,6 +69,81 @@ def test_no_prior_direct_pose(setup):
     assert np.asarray(j).shape == (2, 14, 3)
 
 
+def test_live_cube_reaches_crop_and_denorm(setup):
+    """A cube passed per call (hand-size calibration, +/- resize) must
+    reach the crop AND the denormalization scale — bit-equal to an
+    estimator constructed with that cube (realtimehandpose:330-336)."""
+    cam, model, variables, prior, depth, com, frames = setup
+    base = FusedEstimator(model, cam, prior=prior, crop_method="onehot")
+    big = FusedEstimator(
+        model, cam, cube=(350.0, 350.0, 350.0), prior=prior,
+        crop_method="onehot",
+    )
+    j_live, _, c_live = base(
+        variables, depth, com, cube=np.asarray([350.0, 350.0, 350.0])
+    )
+    j_ctor, _, c_ctor = big(variables, depth, com)
+    # cross-program comparison (traced cube vs constant-folded cube):
+    # agreement to f32 ulp, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(c_live), np.asarray(c_ctor), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_live), np.asarray(j_ctor), rtol=1e-5, atol=1e-3
+    )
+    # and it genuinely differs from the constructor cube
+    j_base, _, _ = base(variables, depth, com)
+    assert not np.array_equal(np.asarray(j_base), np.asarray(j_live))
+
+
+def test_mirror_semantics(setup):
+    """mirror=True mirrors the CROP into the net and flips the x of the
+    RELATIVE pose back, denormalizing with the unmirrored com3d —
+    the reference's right-hand handling (realtimehandpose:346-369)."""
+    cam, model, variables, prior, depth, com, frames = setup
+    est = FusedEstimator(model, cam, prior=prior, crop_method="onehot")
+    cube = np.asarray([250.0, 250.0, 250.0], np.float32)
+    j_m, com3d_m, crops_m = est(variables, depth, com, cube=cube,
+                                mirror=True)
+    # same compiled program (explicit cube), mirror off -> crops/com3d
+    # must be bitwise identical
+    j0, com3d, crops = est(variables, depth, com, cube=cube)
+
+    # crop and com3d come from the UNMIRRORED frame/detection
+    np.testing.assert_array_equal(np.asarray(crops_m), np.asarray(crops))
+    np.testing.assert_array_equal(np.asarray(com3d_m), np.asarray(com3d))
+
+    # manual composition of the reference recipe
+    out = model.apply(variables, jnp.asarray(crops)[:, :, ::-1, None],
+                      train=False)
+    out = np.asarray(out) @ np.asarray(prior.components) + np.asarray(
+        prior.mean
+    )
+    pose = out.reshape(out.shape[0], -1, 3)
+    pose[:, :, 0] *= -1.0
+    want = pose * 125.0 + np.asarray(com3d)[:, None, :]
+    np.testing.assert_allclose(np.asarray(j_m), want, rtol=1e-4, atol=1e-3)
+
+
+def test_inv_flags_reference_quirk(setup):
+    """invX flips the relative pose's index 1 and invY its index 0 — the
+    reference's swapped-index behavior (realtimehandpose:353-363)."""
+    cam, model, variables, prior, depth, com, frames = setup
+    est = FusedEstimator(model, cam, prior=prior, crop_method="onehot")
+    j0, com3d, _ = est(variables, depth, com)
+    rel0 = (np.asarray(j0) - np.asarray(com3d)[:, None, :]) / 125.0
+
+    jx, _, _ = est(variables, depth, com, invx=True)
+    relx = (np.asarray(jx) - np.asarray(com3d)[:, None, :]) / 125.0
+    np.testing.assert_allclose(relx[:, :, 1], -rel0[:, :, 1], atol=1e-6)
+    np.testing.assert_allclose(relx[:, :, 0], rel0[:, :, 0], atol=1e-6)
+
+    jy, _, _ = est(variables, depth, com, invy=True)
+    rely = (np.asarray(jy) - np.asarray(com3d)[:, None, :]) / 125.0
+    np.testing.assert_allclose(rely[:, :, 0], -rel0[:, :, 0], atol=1e-6)
+    np.testing.assert_allclose(rely[:, :, 1], rel0[:, :, 1], atol=1e-6)
+
+
 def test_aot_compile(setup):
     cam, model, variables, prior, depth, com, frames = setup
     est = FusedEstimator(model, cam, prior=prior)

@@ -16,6 +16,7 @@ from deepprior_tpu.realtime.pipeline import (
     STATE_INIT,
     STATE_RUN,
     HAND_LEFT,
+    HAND_RIGHT,
     RealtimeHandposePipeline,
 )
 
@@ -116,8 +117,9 @@ def test_pipeline_keys_and_state(estimator_setup):
     pipe = RealtimeHandposePipeline(
         est, variables, {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)}
     )
+    assert pipe.hand == HAND_LEFT  # reference default: left = unmirrored
     assert pipe.process_key("h")
-    assert pipe.hand == HAND_LEFT
+    assert pipe.hand == HAND_RIGHT
     cube0 = pipe.config["cube"][0]
     pipe.process_key("+")
     assert pipe.config["cube"][0] == cube0 + 10.0
