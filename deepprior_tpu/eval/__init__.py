@@ -4,6 +4,7 @@ from deepprior_tpu.eval.metrics import HandposeEvaluation
 from deepprior_tpu.eval.datasets import (
     ICVLHandposeEvaluation,
     MSRAHandposeEvaluation,
+    NYUAllHandposeEvaluation,
     NYUHandposeEvaluation,
     evaluation_for,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "HandposeEvaluation",
     "ICVLHandposeEvaluation",
     "NYUHandposeEvaluation",
+    "NYUAllHandposeEvaluation",
     "MSRAHandposeEvaluation",
     "evaluation_for",
 ]

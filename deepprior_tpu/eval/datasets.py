@@ -68,6 +68,18 @@ class NYUHandposeEvaluation(HandposeEvaluation):
             raise ValueError(f"unknown joint subset {joint_subset!r}")
 
 
+class NYUAllHandposeEvaluation(NYUHandposeEvaluation):
+    """NYU 36-joint variant with class-level 'all' skeleton, so joint-count
+    dispatch that never instantiates (realtime show()) draws the right
+    edges (handpose_evaluation.py:763-860 'all' mode)."""
+
+    joint_names = [f"J{i}" for i in range(36)]
+    joint_connections = NYUHandposeEvaluation.ALL_CONNECTIONS
+
+    def __init__(self, gt, joints, joint_subset: str = "all", dolegend=True):
+        super().__init__(gt, joints, joint_subset, dolegend)
+
+
 class MSRAHandposeEvaluation(HandposeEvaluation):
     """21 joints (handpose_evaluation.py:863-913)."""
 
@@ -91,6 +103,6 @@ def evaluation_for(num_joints: int):
     return {
         16: ICVLHandposeEvaluation,
         14: NYUHandposeEvaluation,
-        36: NYUHandposeEvaluation,
+        36: NYUAllHandposeEvaluation,
         21: MSRAHandposeEvaluation,
     }[num_joints]

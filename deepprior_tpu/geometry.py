@@ -172,7 +172,13 @@ def euler_rotation_matrix(angle_x_deg, angle_y_deg, angle_z_deg):
         ],
         -2,
     )
-    return rx @ ry @ rz
+    # 3x3 composition feeds coordinate transforms: keep it out of 1-pass
+    # bf16 (repo invariant: transform matmuls run at HIGHEST).
+    return jnp.matmul(
+        rx,
+        jnp.matmul(ry, rz, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def rotate_points_3d(pts, center, angle_x_deg, angle_y_deg, angle_z_deg):
@@ -190,6 +196,38 @@ def rotate_points_3d(pts, center, angle_x_deg, angle_y_deg, angle_z_deg):
         )
         + center
     )
+
+
+def rotate_points_3d_np(pts, center, angle_x_deg, angle_y_deg, angle_z_deg):
+    """Numpy twin of rotate_points_3d for host-side paths (the one-off
+    pose-prior fit) — avoids per-op accelerator round trips."""
+    import numpy as np
+
+    pts = np.asarray(pts, np.float64)
+    center = np.asarray(center, np.float64)
+    ax, ay, az = np.broadcast_arrays(
+        np.deg2rad(np.asarray(angle_x_deg, np.float64)),
+        np.deg2rad(np.asarray(angle_y_deg, np.float64)),
+        np.deg2rad(np.asarray(angle_z_deg, np.float64)),
+    )
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    one, zero = np.ones_like(cx), np.zeros_like(cx)
+    rx = np.stack(
+        [np.stack([one, zero, zero], -1),
+         np.stack([zero, cx, -sx], -1),
+         np.stack([zero, sx, cx], -1)], -2)
+    ry = np.stack(
+        [np.stack([cy, zero, sy], -1),
+         np.stack([zero, one, zero], -1),
+         np.stack([-sy, zero, cy], -1)], -2)
+    rz = np.stack(
+        [np.stack([cz, -sz, zero], -1),
+         np.stack([sz, cz, zero], -1),
+         np.stack([zero, zero, one], -1)], -2)
+    r = rx @ ry @ rz
+    return np.einsum("...ij,...j->...i", r, pts - center) + center
 
 
 def transform_points_3d(pts, m):

@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Sequence
 import numpy as np
 
 from deepprior_tpu.camera import Camera
-from deepprior_tpu.geometry import rotate_points_2d_np
+from deepprior_tpu.geometry import rotate_points_2d_np, rotate_points_3d_np
 
 
 class PCAPrior(NamedTuple):
@@ -139,17 +139,12 @@ def sample_random_poses(
         return np.asarray(camera.img_to_3d_np(r2d), np.float64) - about3d[:, None, :]
 
     def _rotate_3d(p, about3d, ang3):
-        from deepprior_tpu.geometry import rotate_points_3d
-
-        r = np.asarray(
-            rotate_points_3d(
-                (p + about3d[:, None, :]).astype(np.float32),
-                about3d[:, None, :].astype(np.float32),
-                ang3[:, 0:1].astype(np.float32),
-                ang3[:, 1:2].astype(np.float32),
-                ang3[:, 2:3].astype(np.float32),
-            ),
-            np.float64,
+        """Host-side twin of rotate_points_3d — the one-off fit must not
+        dispatch eager device ops (tunnel transfer dominates)."""
+        r = rotate_points_3d_np(
+            p + about3d[:, None, :],
+            about3d[:, None, :],
+            ang3[:, 0:1], ang3[:, 1:2], ang3[:, 2:3],
         )
         return r - about3d[:, None, :]
 

@@ -217,6 +217,15 @@ class CaptureDevice(CameraDevice):
         if rc != 0:
             raise RuntimeError(f"capture shim failed to start (rc={rc})")
         self._shape = (self.lib.ds_depth_height(), self.lib.ds_depth_width())
+        # block until the worker publishes its first frame (real-camera
+        # start semantics): getDepth right after start() must not race the
+        # first render and report a dead stream
+        deadline = time.monotonic() + 5.0
+        while (self.lib.ds_frame_counter() == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.002)
+        if self.lib.ds_frame_counter() == 0:
+            raise RuntimeError("capture shim produced no frame within 5 s")
 
     def stop(self):
         self.lib.ds_stop()

@@ -14,6 +14,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# pins jax_platforms to $JAX_PLATFORMS (the sitecustomize-registered axon
+# backend ignores the env var alone) and enables the compilation cache
+import common  # noqa: F401,E402
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--device", default="synthetic",
@@ -66,12 +70,28 @@ if __name__ == "__main__":
         }
         tree, _ = load_checkpoint(args.checkpoint, tree)
         variables = {"params": tree["params"]}
+        if tree["batch_stats"]:  # ResNet needs its BN running stats back
+            variables["batch_stats"] = tree["batch_stats"]
         prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
     else:
         prior = PCAPrior(
             components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
             mean=np.zeros(42, np.float32),
         )
+
+    if args.device == "capture":
+        lib = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu",
+                           "cpp", "libcapture.so")
+        device = CaptureDevice(lib, mode="synthetic", fps=60.0)
+        # the shim's camera differs from NYU; run with its intrinsics
+        # (reference cameradevice.py getDepthIntrinsics surface)
+        device.start()
+        try:
+            cam = device.getDepthIntrinsics()
+        finally:
+            device.stop()  # process_video restarts the device itself
+    else:
+        device = SyntheticDevice(cam, seed=0)
 
     est = FusedEstimator(model, cam, prior=prior)
     com_refiner = None
@@ -89,16 +109,6 @@ if __name__ == "__main__":
         {"fx": cam.fx, "fy": cam.fy, "cube": (250.0, 250.0, 250.0)},
         com_refiner=com_refiner,
     )
-
-    if args.device == "capture":
-        lib = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu",
-                           "cpp", "libcapture.so")
-        device = CaptureDevice(lib, mode="synthetic", fps=60.0)
-        # the shim's camera differs from NYU; run with its intrinsics
-        device.start()
-        device.stop()
-    else:
-        device = SyntheticDevice(cam, seed=0)
 
     runner = pipe.process_video_threaded if args.threaded else pipe.process_video
     results = runner(device, max_frames=args.frames)

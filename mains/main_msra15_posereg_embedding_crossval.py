@@ -3,6 +3,9 @@
 subjects, test on the held-out one, repeat for P0..P8).
 """
 
+import json
+import os
+
 import numpy as np
 
 from common import base_parser, run_posereg_embedding
@@ -46,6 +49,7 @@ if __name__ == "__main__":
     subjects = [f"P{i}" for i in range(9)]
     holdouts = [args.holdout] if args.holdout else subjects
     means = []
+    failed = []
     for held in holdouts:
         print(f"=== crossval fold: holding out {held} ===")
         train_subjects = [s for s in subjects if s != held]
@@ -54,21 +58,37 @@ if __name__ == "__main__":
             return _MultiSubjectImporter(basepath, _subj)
 
         args.eval_prefix = f"MSRA_EMB_crossval_{held}"
-        _, results = run_posereg_embedding(
-            args, importer_cls, MSRA15_CAMERA,
-            train_seq="train", test_seqs=[held],
-            num_joints=21, eval_cls=MSRAHandposeEvaluation,
-            # --accept: no shipped baseline file for MSRA15 (the reference
-            # plots "Our regr" alone, main_msra15:226); gate each fold on
-            # the BASELINE.md ~9.5 mm paper number with a 5% tolerance
-            accept_mm=10.0,
-        )
-        means.append(results[held].getMeanError())
+        try:
+            _, results = run_posereg_embedding(
+                args, importer_cls, MSRA15_CAMERA,
+                train_seq="train", test_seqs=[held],
+                num_joints=21, eval_cls=MSRAHandposeEvaluation,
+                # --accept: no shipped baseline file for MSRA15 (the
+                # reference plots "Our regr" alone, main_msra15:226); gate
+                # each fold on the BASELINE.md ~9.5 mm paper number with a
+                # 5% tolerance
+                accept_mm=10.0,
+            )
+            means.append(results[held].getMeanError())
+        except SystemExit as e:
+            # --accept per-fold failure: keep running the remaining folds
+            # so the crossval summary covers all 9; the fold's numbers were
+            # already written to its results.json before the raise
+            rj = os.path.join(args.out, args.eval_prefix, "results.json")
+            if not os.path.isfile(rj):
+                raise  # a failure before evaluation; nothing to recover
+            with open(rj) as fh:
+                means.append(float(json.load(fh)[held]["mean_mm"]))
+            failed.append((held, str(e)))
     cv_mean = float(np.mean(means))
-    print(f"crossval mean over folds: {cv_mean:.3f}mm")
+    print(f"crossval mean over folds: {cv_mean:.3f}mm"
+          + (f" ({len(failed)} fold(s) failed acceptance)" if failed else ""))
     # same threshold resolution as the per-fold gate (mains/common.py):
     # --accept-mm overrides the BASELINE.md-derived default
     thr = args.accept_mm if args.accept_mm is not None else 10.0
-    if args.accept and cv_mean >= thr:
-        raise SystemExit(f"acceptance FAILED: crossval mean {cv_mean:.3f}mm"
-                         f" >= {thr}mm")
+    if args.accept and (failed or cv_mean >= thr):
+        detail = "; ".join(f"{h}: {m}" for h, m in failed)
+        raise SystemExit(
+            f"acceptance FAILED: crossval mean {cv_mean:.3f}mm vs {thr}mm"
+            + (f" (failed folds: {detail})" if detail else "")
+        )

@@ -64,12 +64,15 @@ def test_accept_icvl_pass(tmp_path):
                                "--baseline-file", str(bl),
                                "--accept-mm", "1000"])
     assert out.returncode == 0, out.stderr[-3000:]
-    assert "acceptance [PASS]" in out.stdout
+    # synthetic-fixture runs are labeled as smoke tests, never as evidence
+    # against the real-dataset BASELINE.md target
+    assert "acceptance [PASS (synthetic smoke)]" in out.stdout
     assert "baseline Tang et al." in out.stdout
 
     outdir = tmp_path / "train_EMB_PCA30"
     rec = json.load(open(outdir / "results.json"))["acceptance"]
     assert rec["pass"] is True
+    assert rec["synthetic"] is True
     assert rec["threshold_mm"] == 1000.0
     assert rec["n_test_frames"] == 32
     # the fixture is gt + ~1 px noise -> small but nonzero baseline error
@@ -89,7 +92,7 @@ def test_accept_icvl_fail_exits_nonzero(tmp_path):
     out = _run_main(tmp_path, ["--epochs", "1", "--nmax", "33", "--accept",
                                "--accept-mm", "0.0001"])
     assert out.returncode != 0
-    assert "acceptance [FAIL]" in out.stdout
+    assert "acceptance [FAIL (synthetic smoke)]" in out.stdout
     assert "acceptance FAILED" in out.stderr
     # the record is still written for post-mortem
     rec = json.load(

@@ -185,6 +185,25 @@ def test_dataset_skeletons():
     assert evaluation_for(16) is ICVLHandposeEvaluation
 
 
+def test_nyu_all_skeleton_dispatch():
+    """evaluation_for(36) must expose the 36-joint skeleton at CLASS level —
+    the realtime show() path reads joint_connections without instantiating
+    (realtimehandposepipeline.py:398-405)."""
+    from deepprior_tpu.eval import NYUAllHandposeEvaluation
+
+    cls = evaluation_for(36)
+    assert cls is NYUAllHandposeEvaluation
+    assert len(cls.joint_names) == 36
+    assert cls.joint_connections is NYUHandposeEvaluation.ALL_CONNECTIONS
+    for a, b in cls.joint_connections:
+        assert 0 <= a < 36 and 0 <= b < 36
+    # instances default to the 'all' subset but can still ask for 'eval'
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-100, 100, (4, 36, 3)).astype(np.float32)
+    inst = cls(gt, gt.copy())
+    assert inst.joint_connections is NYUHandposeEvaluation.ALL_CONNECTIONS
+
+
 def test_plots_written(tmp_path):
     rng = np.random.default_rng(2)
     gt = rng.uniform(-100, 100, (20, 16, 3)).astype(np.float32)

@@ -83,3 +83,22 @@ def test_rotate_points_3d_roundtrip(rng):
     # center is a fixed point
     c = np.asarray(rotate_points_3d(center[None], center, 15.0, -30.0, 45.0))
     np.testing.assert_allclose(c[0], center, atol=1e-4)
+
+
+def test_rotate_points_3d_np_matches_jnp(rng):
+    """The numpy twin (host-side prior fit) must match the jnp path,
+    including the batched-angle broadcasting shape the prior uses."""
+    from deepprior_tpu.geometry import rotate_points_3d_np
+
+    pts = rng.uniform(-125, 125, (7, 5, 3)).astype(np.float32)
+    center = rng.uniform(-50, 50, (7, 1, 3)).astype(np.float32)
+    ang = rng.uniform(-180, 180, (7, 3)).astype(np.float32)
+    got = rotate_points_3d_np(
+        pts, center, ang[:, 0:1], ang[:, 1:2], ang[:, 2:3]
+    )
+    want = np.asarray(
+        rotate_points_3d(
+            pts, center, ang[:, 0:1], ang[:, 1:2], ang[:, 2:3]
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-3)
