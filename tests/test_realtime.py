@@ -229,6 +229,20 @@ class TestCaptureShim:
         assert accel.shape == (3,)
         dev.stop()
 
+    def test_start_blocks_until_first_frame(self):
+        """start() must not return before the worker publishes its first
+        frame: getDepth() immediately after start() used to race the first
+        render and report a dead stream (process_video then exited with 0
+        frames). Low fps makes the pre-fix race window ~1 s wide."""
+        dev = CaptureDevice(CPP_LIB, mode="synthetic", fps=1.0)
+        dev.start()
+        try:
+            assert dev.getLastDepthNum() > 0
+            ok, frame = dev.getDepth()
+            assert ok and frame.shape == (240, 320)
+        finally:
+            dev.stop()
+
     def test_colour_uv_sync_surface(self):
         """Colour/vertex/UV/sync surface (reference depthsense.cxx:53-85,
         203-223): geometric consistency between the streams."""
