@@ -158,3 +158,32 @@ def test_profiling_timers():
 
     dev_ms = device_loop_latency(step, jnp.zeros(1), iters=5)
     assert dev_ms >= 0.0
+
+
+def test_require_accelerator_retry_path():
+    """require_accelerator must complete its wait-and-retry loop and raise
+    the documented RuntimeError on a CPU-only backend — in particular
+    _clear_backends must not AttributeError on JAX 0.9, where the public
+    jax.clear_backends was removed (advisor finding, mains/common.py:36-50).
+    Subprocess: clearing backend caches mid-suite would invalidate live
+    arrays in this process."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    code = (
+        "import sys; sys.path.insert(0, 'mains');"
+        "import common;"
+        "common.require_accelerator(retries=3, wait_s=0.05)"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0
+    assert "no accelerator available" in out.stderr
+    assert "AttributeError" not in out.stderr
+    # the loop actually retried (first attempt prints the waiting notice)
+    assert "waiting for it" in out.stdout
