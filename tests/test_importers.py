@@ -216,6 +216,9 @@ def test_nyu_baseline_2d(nyu_tree, tmp_path):
     )
     out = imp.loadBaseline2D(str(tmp_path / "pred2d.mat"))
     assert len(out) == 2 and out[0].shape == (nj, 2)
+    # reference side effect (importers.py:1158): the importer's joint count
+    # follows the loaded baseline's conv_joint_names
+    assert imp.num_joints == nj
     np.testing.assert_allclose(out[0], pred[0, :, :2], rtol=1e-6)
     expect = np.zeros((nj, 2), np.float32)
     kept = np.concatenate([pred[1, :3, :2], pred[1, 4:, :2]])
