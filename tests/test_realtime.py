@@ -300,6 +300,34 @@ class TestCaptureShim:
         np.testing.assert_allclose(E[:, :3], np.eye(3))
         dev.stop()
 
+    def test_no_torn_reads_under_fast_writes(self, tmp_path):
+        """Seqlock tear check (advisor finding on the old double buffer):
+        replay constant-valued frames at high fps; every snapshot must be
+        uniform — a torn read would mix rows of two frames.  Big frames
+        widen the writer's memcpy window; 10 kfps makes writes near
+        back-to-back."""
+        h, w = 240, 320
+        frames = np.stack([
+            np.full((h, w), 500.0, np.float32),
+            np.full((h, w), 900.0, np.float32),
+        ])
+        path = tmp_path / "tear.bin"
+        with open(path, "wb") as f:
+            f.write(struct.pack("<3i", h, w, 2))
+            frames.tofile(f)
+        dev = CaptureDevice(CPP_LIB, mode="file", source=str(path),
+                            fps=10000.0)
+        dev.start()
+        try:
+            for _ in range(500):
+                ok, frame = dev.getDepth()
+                assert ok
+                lo, hi = frame.min(), frame.max()
+                assert lo == hi, f"torn frame: min {lo} != max {hi}"
+                assert lo in (500.0, 900.0)
+        finally:
+            dev.stop()
+
     def test_file_capture(self, tmp_path):
         import time
 
