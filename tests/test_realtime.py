@@ -328,6 +328,26 @@ class TestCaptureShim:
         finally:
             dev.stop()
 
+    def test_demo_realtime_smoke(self, tmp_path):
+        """mains/demo_realtime.py end-to-end on both device paths — the
+        entry point regressed twice (platform pinning bypassed; capture
+        device built after the estimator chose NYU intrinsics) without any
+        test noticing."""
+        import subprocess
+        import sys
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        for device in ("synthetic", "capture"):
+            out = subprocess.run(
+                [sys.executable, "mains/demo_realtime.py",
+                 "--device", device, "--frames", "2"],
+                cwd=repo, env=env, capture_output=True, text=True,
+                timeout=600,
+            )
+            assert out.returncode == 0, (device, out.stderr[-3000:])
+            assert "processed 2 frames" in out.stdout, (device, out.stdout)
+
     def test_file_capture(self, tmp_path):
         import time
 
