@@ -294,5 +294,44 @@ def main():
     )
 
 
+def _run_with_deadline(deadline_s: float) -> int:
+    """Run main() in a child process with a wall-clock deadline.
+
+    The axon tunnel's device-claim leg can wedge indefinitely (observed:
+    jax.devices() blocked >30 min when a prior client's grant was lost);
+    a bench that hangs forever is worse for the driver than one that
+    fails loudly.  Fork keeps the parent free of any JAX/PJRT state so
+    it can always enforce the deadline."""
+    import os
+    import signal
+    import time
+
+    pid = os.fork()
+    if pid == 0:  # child: the real benchmark
+        main()
+        os._exit(0)
+    end = time.time() + deadline_s
+    while time.time() < end:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            return os.waitstatus_to_exitcode(status)
+        time.sleep(1.0)
+    print(
+        f"bench: no result within {deadline_s:.0f}s "
+        "(device claim or compile wedged); killing child",
+        flush=True,
+        file=__import__("sys").stderr,
+    )
+    os.kill(pid, signal.SIGKILL)
+    os.waitpid(pid, 0)
+    return 1
+
+
 if __name__ == "__main__":
+    import os as _os
+    import sys as _sys
+
+    _deadline = float(_os.environ.get("BENCH_DEADLINE_S", "2700"))
+    if _deadline > 0:
+        _sys.exit(_run_with_deadline(_deadline))
     main()
