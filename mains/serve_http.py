@@ -1,0 +1,173 @@
+"""HTTP pose-estimation service over the micro-batching server.
+
+New capability beyond the reference (whose only online surface is the
+local realtime window, reference realtimehandposepipeline.py:176-219):
+a production-style serving daemon.  Concurrent POSTs are transparently
+micro-batched into single fused-pipeline executions on the accelerator
+(deepprior_tpu/realtime/batcher.py).
+
+API:
+  GET  /healthz          -> {"ok": true, "stats": {...}, "occupancy": f}
+  POST /predict          body: npz with
+                           depth (H, W) float32 raw mm   [required]
+                           com   (3,)  float32 image uvd [required]
+                           cube  (3,)  float32 mm        [optional]
+                           mirror ()   bool              [optional]
+                         -> {"joints": [[x, y, z] mm, ...],
+                             "batch": realized device batch when served}
+
+Run:  python mains/serve_http.py --port 8000 --max-batch 64
+Test: tests/test_serving.py drives it in-process on the CPU mesh.
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import common  # noqa: F401,E402  (platform pinning + compile cache)
+
+
+def build_server(args):
+    """Model + estimator + micro-batcher from the parsed flags."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import PCAPrior
+    from deepprior_tpu.realtime.batcher import MicroBatchServer
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    cam = NYU_CAMERA
+    if args.model == "resnet":
+        from deepprior_tpu.models import ResNet, ResNetConfig
+
+        model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
+    else:
+        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 1))
+    )
+    if args.checkpoint:
+        from deepprior_tpu.train.checkpoint import load_checkpoint
+
+        tree = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "pca_components": np.zeros((30, 42), np.float32),
+            "pca_mean": np.zeros(42, np.float32),
+        }
+        tree, _ = load_checkpoint(args.checkpoint, tree)
+        variables = {"params": tree["params"]}
+        if tree["batch_stats"]:
+            variables["batch_stats"] = tree["batch_stats"]
+        prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
+    else:
+        rng = np.random.default_rng(0)
+        prior = PCAPrior(
+            components=rng.standard_normal((30, 42)).astype(np.float32)
+            * 0.05,
+            mean=np.zeros(42, np.float32),
+        )
+    est = FusedEstimator(model, cam, prior=prior)
+    return MicroBatchServer(
+        est, variables, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+
+
+def make_handler(server):
+    class Handler(BaseHTTPRequestHandler):
+        # silence per-request stderr lines (stats live in /healthz)
+        def log_message(self, fmt, *a):
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "ok": True,
+                    "stats": dict(server.stats),
+                    "occupancy": server.occupancy(),
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                depth = np.asarray(data["depth"], np.float32)
+                com = np.asarray(data["com"], np.float32)
+                if depth.ndim != 2 or com.shape != (3,):
+                    raise ValueError(
+                        f"bad shapes: depth {depth.shape}, com {com.shape}"
+                    )
+                cube = (
+                    np.asarray(data["cube"], np.float32)
+                    if "cube" in data else None
+                )
+                mirror = bool(data["mirror"]) if "mirror" in data else False
+            except Exception as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                fut = server.submit(depth, com, cube=cube, mirror=mirror)
+                joints = fut.result(timeout=60.0)
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            self._json(200, {
+                "joints": np.asarray(joints, np.float64).tolist(),
+                "batch": server.max_batch,
+            })
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model", default="poseregnet",
+                   choices=["poseregnet", "resnet"])
+    p.add_argument("--checkpoint", default=None,
+                   help="trained network_prior.ckpt (random weights if "
+                        "absent)")
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
+    args = p.parse_args(argv)
+
+    server = build_server(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms}ms)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Online-serving tests: micro-batching collector + HTTP front-end."""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from deepprior_tpu.camera import NYU_CAMERA
+from deepprior_tpu.data.synthetic import make_frame
+from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+from deepprior_tpu.prior import PCAPrior
+from deepprior_tpu.realtime.batcher import MicroBatchServer
+from deepprior_tpu.realtime.fused import FusedEstimator
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    cam = NYU_CAMERA
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    rng = np.random.default_rng(0)
+    prior = PCAPrior(
+        components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+        mean=np.zeros(42, np.float32),
+    )
+    est = FusedEstimator(model, cam, prior=prior)
+    rng = np.random.default_rng(7)
+    frames = [make_frame(cam, rng, num_joints=14) for _ in range(13)]
+    depth = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    return est, variables, depth, com
+
+
+def _reference_joints(est, variables, depth, com, max_batch):
+    """What the batcher must produce: the fused pipeline at the compiled
+    max_batch shape, tail-padded by repeating the last sample."""
+    import jax.numpy as jnp
+
+    n = depth.shape[0]
+    pad = max_batch - n
+    dp = np.concatenate([depth, np.repeat(depth[-1:], pad, 0)])
+    cp = np.concatenate([com, np.repeat(com[-1:], pad, 0)])
+    joints, _, _ = est(variables, jnp.asarray(dp), jnp.asarray(cp))
+    return np.asarray(joints)[:n]
+
+
+def test_batcher_matches_direct_pipeline(setup):
+    """Concurrent submissions return bit-identical joints to one padded
+    fused-pipeline call at the same compiled batch shape."""
+    est, variables, depth, com = setup
+    want = _reference_joints(est, variables, depth, com, max_batch=16)
+    with MicroBatchServer(est, variables, max_batch=16,
+                          max_wait_ms=200.0) as srv:
+        futs = [srv.submit(depth[i], com[i]) for i in range(13)]
+        got = np.stack([f.result(timeout=120) for f in futs])
+    np.testing.assert_array_equal(got, want)
+    assert srv.stats["frames"] == 13
+    # all 13 arrived within the 200 ms window -> one batch
+    assert srv.stats["batches"] == 1
+    assert 0.0 < srv.occupancy() <= 1.0
+
+
+def test_batcher_single_request_tail_pad(setup):
+    """A lone request is served (padded batch) once max_wait elapses."""
+    est, variables, depth, com = setup
+    want = _reference_joints(est, variables, depth[:1], com[:1],
+                             max_batch=8)
+    with MicroBatchServer(est, variables, max_batch=8,
+                          max_wait_ms=1.0) as srv:
+        got = srv.submit(depth[0], com[0]).result(timeout=120)
+    np.testing.assert_array_equal(got[None], want)
+
+
+def test_batcher_per_request_cube_and_mirror(setup):
+    """Mixed per-request cube/mirror ride the traced per-sample config —
+    results match direct calls with the same (B,) config arrays."""
+    import jax.numpy as jnp
+
+    est, variables, depth, com = setup
+    n, mb = 4, 8
+    cube = np.array([300.0, 300.0, 300.0], np.float32)
+    dp = np.concatenate([depth[:n], np.repeat(depth[n - 1:n], mb - n, 0)])
+    cp = np.concatenate([com[:n], np.repeat(com[n - 1:n], mb - n, 0)])
+    cubes = np.tile(np.asarray(est.cube, np.float32), (mb, 1))
+    cubes[1] = cube
+    mirrors = np.zeros(mb, bool)
+    mirrors[2] = True
+    joints, _, _ = est(variables, jnp.asarray(dp), jnp.asarray(cp),
+                       cube=cubes, mirror=mirrors)
+    want = np.asarray(joints)[:n]
+
+    with MicroBatchServer(est, variables, max_batch=mb,
+                          max_wait_ms=200.0) as srv:
+        futs = [
+            srv.submit(depth[0], com[0]),
+            srv.submit(depth[1], com[1], cube=cube),
+            srv.submit(depth[2], com[2], mirror=True),
+            srv.submit(depth[3], com[3]),
+        ]
+        got = np.stack([f.result(timeout=120) for f in futs])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batcher_error_isolation(setup):
+    """A bad request fails its own batch's futures with the exception;
+    the server keeps serving afterwards."""
+    est, variables, depth, com = setup
+    with MicroBatchServer(est, variables, max_batch=4,
+                          max_wait_ms=1.0) as srv:
+        # 1-D "frame": the pipeline requires (B, H, W) depth
+        bad = srv.submit(np.zeros((9,), np.float32), com[0])
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        assert srv.stats["errors"] == 1
+        ok = srv.submit(depth[0], com[0]).result(timeout=120)
+        assert ok.shape == (14, 3)
+
+
+def test_batcher_close_rejects_new_work(setup):
+    est, variables, depth, com = setup
+    srv = MicroBatchServer(est, variables, max_batch=4, max_wait_ms=1.0)
+    srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit(depth[0], com[0])
+
+
+def test_batcher_concurrent_threads(setup):
+    """Many submitter threads: every caller gets its own frame's joints
+    (no cross-request mixups), batching actually occurs."""
+    est, variables, depth, com = setup
+    # per-sample reference, each in its own padded batch of the same
+    # compiled shape: asserts results are independent of which other
+    # requests happened to share the device batch
+    want = np.concatenate([
+        _reference_joints(est, variables, depth[i:i + 1], com[i:i + 1],
+                          max_batch=8)
+        for i in range(13)
+    ])
+    results = {}
+    with MicroBatchServer(est, variables, max_batch=8,
+                          max_wait_ms=50.0) as srv:
+        def worker(i):
+            results[i] = srv.submit(depth[i], com[i]).result(timeout=120)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(13)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        batches = srv.stats["batches"]
+    for i in range(13):
+        np.testing.assert_array_equal(results[i], want[i])
+    assert batches < 13  # micro-batching happened
+
+
+# ----------------------------------------------------------------------
+def test_http_server_roundtrip(setup):
+    """mains/serve_http.py in-process: /predict micro-batches concurrent
+    POSTs; /healthz reports stats."""
+    import http.client
+    import json
+    import sys
+    from http.server import ThreadingHTTPServer
+
+    sys.path.insert(0, "mains")
+    from serve_http import make_handler
+
+    est, variables, depth, com = setup
+    want = _reference_joints(est, variables, depth[:4], com[:4],
+                             max_batch=8)
+    srv = MicroBatchServer(est, variables, max_batch=8, max_wait_ms=50.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(i):
+            buf = io.BytesIO()
+            np.savez(buf, depth=depth[i], com=com[i])
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("POST", "/predict", body=buf.getvalue())
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            out = json.loads(resp.read())
+            conn.close()
+            return np.asarray(out["joints"], np.float32)
+
+        results = {}
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(i, post(i))
+            )
+            for i in range(4)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i in range(4):
+            np.testing.assert_allclose(results[i], want[i], atol=1e-4)
+
+        # healthz surface
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        resp = conn.getresponse()
+        health = json.loads(resp.read())
+        conn.close()
+        assert health["ok"] and health["stats"]["frames"] >= 4
+
+        # malformed body -> 400, server stays up
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/predict", body=b"not an npz")
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        httpd.shutdown()
+        srv.close()
