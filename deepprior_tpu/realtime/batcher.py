@@ -63,10 +63,19 @@ class MicroBatchServer:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
     ):
+        """``est`` is a FusedEstimator with ``variables`` its pytree — or,
+        for multi-chip online serving, a parallel/serve.py
+        ShardedEstimator (which holds its placed variables itself) with
+        ``variables=None``.  In the sharded case ``max_batch`` must be a
+        multiple of the mesh's data-axis size (the fixed compiled batch
+        makes that invariant hold for any traffic), and per-request
+        cube/mirror are unsupported (ShardedEstimator partitions the
+        fixed-config pipeline)."""
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.est = est
         self.variables = variables
+        self._sharded = variables is None
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: queue.Queue = queue.Queue()
@@ -88,6 +97,11 @@ class MicroBatchServer:
         """Enqueue one frame; returns a Future of the (J, 3) mm joints."""
         if not self._running:
             raise RuntimeError("server is closed")
+        if self._sharded and (cube is not None or mirror):
+            raise ValueError(
+                "per-request cube/mirror need a single-device "
+                "FusedEstimator (the sharded pipeline is fixed-config)"
+            )
         fut: Future = Future()
         self._q.put(
             _Request(
@@ -175,6 +189,10 @@ class MicroBatchServer:
             [r.depth for r in items] + [items[-1].depth] * pad
         )
         com = np.stack([r.com for r in items] + [items[-1].com] * pad)
+        if self._sharded:  # ShardedEstimator shards + holds variables
+            joints, _, _ = self.est(depth, com)
+            self._resolve(items, np.asarray(joints))
+            return
         default_cube = np.asarray(self.est.cube, np.float32)
         any_cube = any(r.cube is not None for r in items)
         any_mirror = any(r.mirror for r in items)
@@ -202,8 +220,10 @@ class MicroBatchServer:
             )
         # one host fetch resolves the whole batch (the only reliable
         # completion barrier through remote PJRT backends, CLAUDE.md)
-        joints_np = np.asarray(joints)
-        self.stats["frames"] += n
+        self._resolve(items, np.asarray(joints))
+
+    def _resolve(self, items, joints_np):
+        self.stats["frames"] += len(items)
         self.stats["batches"] += 1
         for i, r in enumerate(items):
             r.future.set_result(joints_np[i])

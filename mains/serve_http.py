@@ -77,6 +77,23 @@ def build_server(args):
             mean=np.zeros(42, np.float32),
         )
     est = FusedEstimator(model, cam, prior=prior)
+    if args.dp > 1:
+        # multi-chip online serving: batch shards over the dp mesh axis
+        # (max_batch stays the compiled shape, so it must be a multiple
+        # of dp — the batcher always pads to it)
+        from deepprior_tpu.parallel import make_mesh
+        from deepprior_tpu.parallel.serve import ShardedEstimator
+
+        if args.max_batch % args.dp:
+            raise SystemExit(
+                f"--max-batch {args.max_batch} must be a multiple of "
+                f"--dp {args.dp}"
+            )
+        sharded = ShardedEstimator(est, make_mesh(dp=args.dp), variables)
+        return MicroBatchServer(
+            sharded, variables=None, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+        )
     return MicroBatchServer(
         est, variables, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
@@ -153,6 +170,9 @@ def main(argv=None):
                         "absent)")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each batch over a dp-way device mesh "
+                        "(parallel/serve.py::ShardedEstimator)")
     args = p.parse_args(argv)
 
     server = build_server(args)

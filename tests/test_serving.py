@@ -222,3 +222,24 @@ def test_http_server_roundtrip(setup):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_batcher_over_sharded_estimator(setup):
+    """Multi-chip online serving: the batcher drives a ShardedEstimator
+    (8-device dp mesh); results match the single-device padded pipeline,
+    and per-request config is rejected up front."""
+    from deepprior_tpu.parallel import make_mesh
+    from deepprior_tpu.parallel.serve import ShardedEstimator
+
+    est, variables, depth, com = setup
+    mesh = make_mesh(dp=8, tp=1)
+    sharded = ShardedEstimator(est, mesh, variables)
+    want = _reference_joints(est, variables, depth[:5], com[:5],
+                             max_batch=8)
+    with MicroBatchServer(sharded, variables=None, max_batch=8,
+                          max_wait_ms=200.0) as srv:
+        with pytest.raises(ValueError):
+            srv.submit(depth[0], com[0], mirror=True)
+        futs = [srv.submit(depth[i], com[i]) for i in range(5)]
+        got = np.stack([f.result(timeout=120) for f in futs])
+    np.testing.assert_allclose(got, want, atol=1e-4)
