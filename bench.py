@@ -294,36 +294,57 @@ def main():
     )
 
 
-def _run_with_deadline(deadline_s: float) -> int:
+def _run_with_deadline(deadline_s: float, max_attempts: int = 3) -> int:
     """Run main() in a child process with a wall-clock deadline.
 
     The axon tunnel's device-claim leg can wedge indefinitely (observed:
     jax.devices() blocked >30 min when a prior client's grant was lost);
     a bench that hangs forever is worse for the driver than one that
     fails loudly.  Fork keeps the parent free of any JAX/PJRT state so
-    it can always enforce the deadline."""
+    it can always enforce the deadline.
+
+    The claim failure is also TRANSIENT (observed: 'Unable to initialize
+    backend axon: UNAVAILABLE' after ~20 min, then a clean claim on the
+    next attempt), so a failed child is retried — in a FRESH fork, since
+    PJRT state is process-wide — while deadline budget remains."""
     import os
     import signal
+    import sys
     import time
 
-    pid = os.fork()
-    if pid == 0:  # child: the real benchmark
-        main()
-        os._exit(0)
     end = time.time() + deadline_s
-    while time.time() < end:
-        done, status = os.waitpid(pid, os.WNOHANG)
-        if done:
-            return os.waitstatus_to_exitcode(status)
-        time.sleep(1.0)
-    print(
-        f"bench: no result within {deadline_s:.0f}s "
-        "(device claim or compile wedged); killing child",
-        flush=True,
-        file=__import__("sys").stderr,
-    )
-    os.kill(pid, signal.SIGKILL)
-    os.waitpid(pid, 0)
+    for attempt in range(1, max_attempts + 1):
+        pid = os.fork()
+        if pid == 0:  # child: the real benchmark
+            main()
+            os._exit(0)
+        code = None
+        while time.time() < end:
+            done, status = os.waitpid(pid, os.WNOHANG)
+            if done:
+                code = os.waitstatus_to_exitcode(status)
+                break
+            time.sleep(1.0)
+        if code is None:  # deadline hit while the child was still running
+            print(
+                f"bench: no result within {deadline_s:.0f}s "
+                "(device claim or compile wedged); killing child",
+                flush=True, file=sys.stderr,
+            )
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+            return 1
+        if code == 0:
+            return 0
+        left = end - time.time()
+        if attempt == max_attempts or left < 120:
+            return code
+        print(
+            f"bench: attempt {attempt} failed (exit {code}); retrying "
+            f"in 60s ({left:.0f}s of deadline left)",
+            flush=True, file=sys.stderr,
+        )
+        time.sleep(min(60.0, max(0.0, left - 60.0)))
     return 1
 
 
