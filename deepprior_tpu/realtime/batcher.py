@@ -80,6 +80,11 @@ class MicroBatchServer:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._running = True
+        # orders submit's {check _running, enqueue} against close's
+        # {clear _running, enqueue sentinel}: without it a submit racing
+        # close can enqueue AFTER the collector drained past the
+        # sentinel, and that Future would never resolve
+        self._submit_lock = threading.Lock()
         # observability (SURVEY §5 surface): request/batch counts expose
         # the realized occupancy = frames / (batches * max_batch)
         self.stats = {"frames": 0, "batches": 0, "errors": 0}
@@ -103,23 +108,27 @@ class MicroBatchServer:
                 "FusedEstimator (the sharded pipeline is fixed-config)"
             )
         fut: Future = Future()
-        self._q.put(
-            _Request(
-                depth=np.asarray(depth, np.float32),
-                com=np.asarray(com, np.float32),
-                cube=None if cube is None else np.asarray(cube, np.float32),
-                mirror=bool(mirror),
-                future=fut,
-            )
+        req = _Request(
+            depth=np.asarray(depth, np.float32),
+            com=np.asarray(com, np.float32),
+            cube=None if cube is None else np.asarray(cube, np.float32),
+            mirror=bool(mirror),
+            future=fut,
         )
+        with self._submit_lock:
+            if not self._running:
+                raise RuntimeError("server is closed")
+            self._q.put(req)
         return fut
 
     def close(self):
         """Drain outstanding requests, then stop the collector thread."""
-        if self._running:
+        with self._submit_lock:
+            if not self._running:
+                return
             self._running = False
             self._q.put(None)  # wake the collector
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self):
         return self
