@@ -474,6 +474,21 @@ class Trainer:
         if steps == 0:
             raise ValueError("training set smaller than one batch")
 
+        # resume (start_epoch > 0): fast-forward both RNG streams through
+        # the epochs already trained so the resumed run consumes the SAME
+        # permutations and augment/dropout keys an uninterrupted run
+        # would — together with the restored optimizer state this makes
+        # resume bit-identical (tests/test_resume.py).  Key consumption
+        # per epoch mirrors the loop below: one split per epoch-scan
+        # dispatch (= one per validation_frequency segment when sub-epoch
+        # observers are on).
+        seg = int(cfg.validation_frequency or 0)
+        sub_epoch = bool(seg) and val_dev is not None
+        for _ in range(start_epoch):
+            rng.permutation(n)
+            for _s in range(0, steps, seg) if sub_epoch else (0,):
+                key, _ = jax.random.split(key)
+
         best = (np.inf, None, None, -1)  # (val error, params, batch_stats, epoch)
         t0 = time.time()
         for epoch in range(start_epoch, n_epochs):

@@ -143,7 +143,24 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "shipped file under --data, e.g. NYU "
                         "test/test_predictions.mat or ICVL "
                         "LRF_Results_seq_1.txt)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>/<prefix>/net_last.ckpt if present "
+                        "(full state: params, BN stats, optimizer moments, "
+                        "epoch; the RNG streams fast-forward so the resumed "
+                        "run is bit-identical to an uninterrupted one)")
     return p
+
+
+def _maybe_resume(args, trainer, state, outdir):
+    """Restore the rolling snapshot written by fit() when --resume.
+
+    Returns (state, start_epoch)."""
+    snap = os.path.join(outdir, "net_last.ckpt")
+    if getattr(args, "resume", False) and os.path.isfile(snap):
+        state, start_epoch = trainer.load_train_state(snap, state)
+        print(f"resuming from {snap} at epoch {start_epoch}", flush=True)
+        return state, start_epoch
+    return state, 0
 
 
 def load_or_synthesize(args, importer_cls, camera, train_seq, test_seqs,
@@ -341,9 +358,11 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
     if hasattr(trainer, "place_data"):
         data = trainer.place_data(data)
+    state, start_epoch = _maybe_resume(args, trainer, state, outdir)
     t0 = time.time()
     state, hist = trainer.fit(
-        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net")
+        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net"),
+        start_epoch=start_epoch,
     )
     print(f"training took {time.time() - t0:.1f}s")
 
@@ -455,8 +474,10 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
     state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
     if hasattr(trainer, "place_data"):
         data = trainer.place_data(data)
+    state, start_epoch = _maybe_resume(args, trainer, state, outdir)
     state, hist = trainer.fit(
-        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net")
+        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net"),
+        start_epoch=start_epoch,
     )
 
     from deepprior_tpu.train.checkpoint import save_checkpoint

@@ -39,18 +39,22 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
     s3 = t3.init_state(np.asarray(data.crops[:16]))
     s3, next_epoch = t3.load_train_state(path, s3)
     assert next_epoch == 2
-    # optimizer moments restored (non-zero after training)
-    mu_leaves = [np.asarray(x) for x in
-                 np.asarray([], dtype=object).tolist() or []]
     s3_final, h3 = t3.fit(s3, data, start_epoch=next_epoch, log=lambda m: None)
 
-    # same total epochs, same RNG stream per epoch? The epoch RNG derives
-    # from a fresh default_rng(seed) in each fit() call, so streams differ
-    # between a 4-epoch run and 2+2; assert looser: both converge similarly
-    c1 = np.asarray(h1["train_cost"])[-3:].mean()
-    c3 = np.asarray(h3["train_cost"])[-3:].mean()
-    assert np.isfinite(c1) and np.isfinite(c3)
-    assert abs(c1 - c3) / max(c1, 1e-6) < 0.5
+    # fit() fast-forwards the permutation RNG and the aug/dropout key
+    # through the already-trained epochs, so the resumed run consumes the
+    # exact streams the uninterrupted run did: the parameter trajectories
+    # must agree to float determinism (same device, same programs)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3_final.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the recorded costs of the resumed epochs match the tail of the
+    # uninterrupted history
+    c1 = np.asarray(h1["train_cost"])
+    c3 = np.asarray(h3["train_cost"])
+    np.testing.assert_allclose(c3[-len(c1) // 2:], c1[-len(c1) // 2:],
+                               rtol=0, atol=0)
 
     # step counter continued
     assert int(s3_final.step) == int(s1.step)
