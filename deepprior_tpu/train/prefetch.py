@@ -130,6 +130,7 @@ def macro_chunks(
     n_epochs: int,
     chunk_steps: int,
     seed: int = 23455,
+    start_epoch: int = 0,
 ):
     """Macro-batch generator: (k, batch, ...) stacks of `chunk_steps`
     minibatches per yield — the TPU analog of the reference's macro
@@ -139,13 +140,18 @@ def macro_chunks(
     Batches are EXACTLY chunked_epochs' batches in the same order (same
     seed -> same permutations), just stacked: chunks never straddle an
     epoch, and a short epoch tail yields a smaller final chunk (so at
-    most two distinct chunk shapes compile)."""
+    most two distinct chunk shapes compile).
+
+    start_epoch > 0 (resume) burns the already-consumed permutations so
+    the remaining epochs see the streams an uninterrupted run would."""
     import numpy as np
 
     n = next(iter(arrays.values())).shape[0]
     steps = n // batch_size
     rng = np.random.default_rng(seed)
-    for _ in range(n_epochs):
+    for _ in range(start_epoch):
+        rng.permutation(n)
+    for _ in range(start_epoch, n_epochs):
         perm = rng.permutation(n)[: steps * batch_size]
         for s0 in range(0, steps, chunk_steps):
             k = min(chunk_steps, steps - s0)

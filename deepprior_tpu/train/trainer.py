@@ -657,11 +657,17 @@ class Trainer:
         chunk_steps: int = 8,
         snapshot_path: Optional[str] = None,
         log: Callable[[str], None] = print,
+        start_epoch: int = 0,
     ) -> Tuple[TrainState, Dict[str, list]]:
         """Train from host-resident arrays via a double-buffered device
         prefetcher — for datasets that do not fit in HBM (the TPU-native
         equivalent of the reference's para_load loader process,
         nettrainer.py:701-723).
+
+        start_epoch > 0 resumes bit-identically (pair with
+        load_train_state): the permutation stream skips the consumed
+        epochs inside macro_chunks and the step key fast-forwards by the
+        start_epoch * steps splits the chunk scan would have burned.
 
         Batches are staged and dispatched in macro chunks of `chunk_steps`
         minibatches: one host->device transfer + one compiled call per
@@ -691,9 +697,19 @@ class Trainer:
         val_dev = (
             jax.tree.map(jnp.asarray, val_data) if val_data is not None else None
         )
+        if start_epoch:
+            # one split per minibatch, exactly as the chunk scan consumes
+            # them (key, skey = split(key); carry = split(key)[0])
+            key = jax.jit(
+                lambda k, n: jax.lax.scan(
+                    lambda c, _: (jax.random.split(c)[0], None), k, None,
+                    length=n,
+                )[0],
+                static_argnums=1,
+            )(key, start_epoch * steps_per_epoch)
         it = DevicePrefetcher(
             macro_chunks(arrays, cfg.batch_size, n_epochs, chunk_steps,
-                         seed=cfg.seed),
+                         seed=cfg.seed, start_epoch=start_epoch),
             depth=prefetch_depth,
             # distributed: stage each chunk already sharded over the mesh's
             # data axes (stream_put_chunk) instead of landing on one device
@@ -706,7 +722,7 @@ class Trainer:
         lr, lr_epoch = 0.0, -1
         try:
             for chunk in it:
-                epoch = done_steps // steps_per_epoch
+                epoch = start_epoch + done_steps // steps_per_epoch
                 if epoch != lr_epoch:
                     # evaluate the schedule once per EPOCH — sched is an
                     # eager jnp expression, and a float() per chunk would
@@ -729,7 +745,8 @@ class Trainer:
                     )
                 msg = (
                     f"epoch {epoch}: cost {vals.mean():.5f} "
-                    f"({(time.time() - t0) / (epoch + 1):.2f}s/epoch)"
+                    f"({(time.time() - t0) / (epoch - start_epoch + 1):.2f}"
+                    "s/epoch)"
                 )
                 if val_data is not None and (epoch % cfg.eval_every) == 0:
                     obs = self.evaluate(state, val_dev)

@@ -73,3 +73,43 @@ def test_snapshot_written_during_fit(setup, tmp_path):
     s2 = t.init_state(np.asarray(data.crops[:16]))
     s2, next_epoch = t.load_train_state(snap + "_last.ckpt", s2)
     assert next_epoch >= 1
+
+def test_streamed_resume_matches_uninterrupted(setup, tmp_path):
+    """fit_streamed(start_epoch=k) + restored state == one uninterrupted
+    streamed run, bit-for-bit (permutations skip inside macro_chunks, the
+    step key fast-forwards by k*steps splits)."""
+    cam, data, model, cfg = setup
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+
+    t1 = Trainer(model, cfg, cam)
+    s1 = t1.init_state(np.asarray(data.crops[:16]))
+    s1, h1 = t1.fit_streamed(s1, arrays, n_epochs=4, chunk_steps=2,
+                             log=lambda m: None)
+
+    t2 = Trainer(model, cfg, cam)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    s2, _ = t2.fit_streamed(s2, arrays, n_epochs=2, chunk_steps=2,
+                            log=lambda m: None)
+    path = str(tmp_path / "stream_snap.ckpt")
+    t2.save_train_state(path, s2, epoch=1)
+
+    t3 = Trainer(model, cfg, cam)
+    s3 = t3.init_state(np.asarray(data.crops[:16]))
+    s3, next_epoch = t3.load_train_state(path, s3)
+    assert next_epoch == 2
+    s3, h3 = t3.fit_streamed(s3, arrays, n_epochs=4, chunk_steps=2,
+                             start_epoch=next_epoch, log=lambda m: None)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c1 = np.asarray(h1["train_cost"])
+    c3 = np.asarray(h3["train_cost"])
+    np.testing.assert_allclose(c3, c1[-len(c3):], rtol=0, atol=0)
