@@ -69,6 +69,46 @@ class DistributedTrainer(Trainer):
             step=jnp.zeros((), jnp.int32),
         )
 
+    def load_train_state(self, path: str, state: TrainState):
+        """Resume on the mesh: the base restore lands host arrays on one
+        device, which would leave the FC weights un-sharded — GSPMD then
+        computes the matmul reductions in a different order than the
+        tp-sharded run that wrote the snapshot, so the resumed run would
+        drift numerically.  Re-place every restored leaf with exactly the
+        shardings init_state uses (params Megatron-sharded, BN stats
+        replicated, optimizer moments inheriting the param shardings)."""
+        state, next_epoch = super().load_train_state(path, state)
+        shardings = param_shardings(state.params, self.mesh)
+        params = jax.device_put(jax.device_get(state.params), shardings)
+        batch_stats = jax.device_put(
+            jax.device_get(state.batch_stats), replicated(self.mesh)
+        )
+        placed_zero = self.tx.init(params)  # correctly-sharded structure
+        rep = replicated(self.mesh)
+        opt_state = jax.tree.map(
+            # moments (zeros_like the mesh-placed params) carry a mesh
+            # NamedSharding; bookkeeping scalars (e.g. ADAM's count) are
+            # created fresh on one device — replicate those instead of
+            # committing them off-mesh
+            lambda restored, placed: jax.device_put(
+                jax.device_get(restored),
+                placed.sharding
+                if isinstance(placed.sharding, NamedSharding)
+                else rep,
+            ),
+            state.opt_state,
+            placed_zero,
+        )
+        return (
+            TrainState(
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+                step=state.step,
+            ),
+            next_epoch,
+        )
+
     def stream_put(self, batch: dict) -> dict:
         """Stage one (batch, ...) host batch sharded over the mesh's data
         axes — the per-batch variant for chunked_epochs-style iterators

@@ -113,3 +113,34 @@ def test_streamed_resume_matches_uninterrupted(setup, tmp_path):
     c1 = np.asarray(h1["train_cost"])
     c3 = np.asarray(h3["train_cost"])
     np.testing.assert_allclose(c3, c1[-len(c3):], rtol=0, atol=0)
+
+def test_distributed_resume_matches_uninterrupted(setup, tmp_path):
+    """The dp x tp trainer resumes bit-identically as well: the RNG
+    fast-forward lives in the shared fit(), and load_train_state's
+    host round trip must not disturb the GSPMD placement semantics."""
+    from deepprior_tpu.parallel import DistributedTrainer, make_mesh
+
+    cam, data, model, cfg = setup
+    mesh = make_mesh(dp=4, tp=2)
+
+    t1 = DistributedTrainer(model, cfg, cam, mesh)
+    s1 = t1.init_state(np.asarray(data.crops[:16]))
+    s1, _ = t1.fit(s1, t1.place_data(data), log=lambda m: None)
+
+    t2 = DistributedTrainer(model, cfg, cam, mesh)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    s2, _ = t2.fit(s2, t2.place_data(data), n_epochs=2, log=lambda m: None)
+    path = str(tmp_path / "dist_snap.ckpt")
+    t2.save_train_state(path, s2, epoch=1)
+
+    t3 = DistributedTrainer(model, cfg, cam, mesh)
+    s3 = t3.init_state(np.asarray(data.crops[:16]))
+    s3, next_epoch = t3.load_train_state(path, s3)
+    assert next_epoch == 2
+    s3, _ = t3.fit(s3, t3.place_data(data), start_epoch=next_epoch,
+                   log=lambda m: None)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
