@@ -353,6 +353,7 @@ if __name__ == "__main__":
     import sys as _sys
 
     _deadline = float(_os.environ.get("BENCH_DEADLINE_S", "2700"))
+    _attempts = int(_os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
     if _deadline > 0:
-        _sys.exit(_run_with_deadline(_deadline))
+        _sys.exit(_run_with_deadline(_deadline, max_attempts=_attempts))
     main()
