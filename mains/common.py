@@ -148,6 +148,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "(full state: params, BN stats, optimizer moments, "
                         "epoch; the RNG streams fast-forward so the resumed "
                         "run is bit-identical to an uninterrupted one)")
+    p.add_argument("--validation-frequency", type=int, default=None,
+                   help="run the validation observers every N minibatches "
+                        "inside the epoch (reference validation_frequency="
+                        "1000, nettrainer.py:859-889); default: epoch "
+                        "boundaries only")
     p.add_argument("--streamed", action="store_true",
                    help="train via fit_streamed: the dataset stays in host "
                         "RAM and macro chunks stream through a "
@@ -361,6 +366,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         n_epochs=args.epochs, aug_modes=tuple(args.aug_modes), seed=args.seed,
         weightreg_factor=wr,
         model_has_dropout=has_dropout and wr <= 0.0,
+        validation_frequency=getattr(args, "validation_frequency", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp, tp=args.tp)
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
@@ -374,6 +380,10 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     state, start_epoch = _maybe_resume(args, trainer, state, outdir)
     t0 = time.time()
     if streamed:
+        if cfg.validation_frequency:
+            print("note: --validation-frequency applies to the "
+                  "HBM-resident path; the streamed path validates at "
+                  "epoch boundaries", flush=True)
         state, hist = trainer.fit_streamed(
             state, arrays, val_data=val,
             snapshot_path=os.path.join(outdir, "net"),
