@@ -162,3 +162,22 @@ def test_accept_nyu_mat_branch(tmp_path):
     files = os.listdir(tmp_path)
     assert any("accept" in f and f.endswith(".pdf") for f in files), files
     assert "NYU_SMOKE_0.png" in files
+
+
+def test_cli_resume_and_streamed(tmp_path):
+    """CLI wiring for --resume and --streamed: an interrupted streamed run
+    resumes from its rolling snapshot and re-produces the uninterrupted
+    epoch-1 validation number (the bit-identical-resume guarantee,
+    tests/test_resume.py, surfaced through the entry points)."""
+    first = _run_main(tmp_path, ["--epochs", "2", "--nmax", "48",
+                                 "--streamed"])
+    assert first.returncode == 0, first.stderr[-3000:]
+    assert (tmp_path / "train_EMB_PCA30" / "net_last.ckpt").exists()
+
+    second = _run_main(tmp_path, ["--epochs", "4", "--nmax", "48",
+                                  "--streamed", "--resume"])
+    assert second.returncode == 0, second.stderr[-3000:]
+    assert "resuming from" in second.stdout
+    # resumed run starts at the snapshot epoch, not epoch 0
+    assert "epoch 0:" not in second.stdout
+    assert "epoch 3:" in second.stdout
