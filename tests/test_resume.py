@@ -144,3 +144,41 @@ def test_distributed_resume_matches_uninterrupted(setup, tmp_path):
 
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_distributed_streamed_resume(setup, tmp_path):
+    """The large-scale composition: mesh-sharded trainer + host-resident
+    streamed dataset + resume, still bit-identical."""
+    from deepprior_tpu.parallel import DistributedTrainer, make_mesh
+
+    cam, data, model, cfg = setup
+    mesh = make_mesh(dp=4, tp=2)
+    arrays = {
+        "crops": np.asarray(data.crops),
+        "gt3d_crop": np.asarray(data.gt3d_crop),
+        "com": np.asarray(data.com),
+        "cube": np.asarray(data.cube),
+        "m": np.asarray(data.m),
+    }
+
+    t1 = DistributedTrainer(model, cfg, cam, mesh)
+    s1 = t1.init_state(np.asarray(data.crops[:16]))
+    s1, _ = t1.fit_streamed(s1, arrays, n_epochs=4, chunk_steps=2,
+                            log=lambda m: None)
+
+    t2 = DistributedTrainer(model, cfg, cam, mesh)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    s2, _ = t2.fit_streamed(s2, arrays, n_epochs=2, chunk_steps=2,
+                            log=lambda m: None)
+    path = str(tmp_path / "dist_stream_snap.ckpt")
+    t2.save_train_state(path, s2, epoch=1)
+
+    t3 = DistributedTrainer(model, cfg, cam, mesh)
+    s3 = t3.init_state(np.asarray(data.crops[:16]))
+    s3, next_epoch = t3.load_train_state(path, s3)
+    s3, _ = t3.fit_streamed(s3, arrays, n_epochs=4, chunk_steps=2,
+                            start_epoch=next_epoch, log=lambda m: None)
+
+    import jax
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
