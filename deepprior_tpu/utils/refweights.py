@@ -278,3 +278,64 @@ def reference_pickle_from_params(variables: Dict[str, Any]) -> Dict[str, Any]:
             state[f"{num}-values"] = []  # dropout layer: no params
             num += 1
     return state
+
+
+def model_from_reference_pickle(path: str, family: str, dtype=None,
+                                packed_conv: bool = False):
+    """One-call load of a reference-trained net: pickle -> (model,
+    variables, needs_prior).
+
+    Infers the head configuration from the pickle's dense stack instead
+    of making the caller reconstruct the reference `*Params`:
+
+    * 4 denses (1024, 1024, E, J*3) — the ``network_prior.pkl`` form the
+      mains save (PCA decode appended as a linear layer,
+      main_nyu_posereg_embedding.py:148-158) or head types 11/1/4 with
+      decode: ``embedding=E``, ``num_joints=J``; needs_prior=False.
+    * 3 denses ending in a J*3 dim: plain type-0 regression;
+      needs_prior=False.
+    * 3 denses ending in 30 (or any non-multiple of 3): the net emits
+      the PCA embedding — needs_prior=True, and the caller must decode
+      through the matching `prior.PCAPrior` (no reference dataset has 10
+      joints, so 30 is unambiguous).
+
+    family: "poseregnet" | "resnet" (ScaleNet CoM refiners go through
+    ops.refine_cnn instead).  dropout layers carry no pickle params and
+    are inference-off, so the returned config sets dropout=False.
+    """
+    import jax.numpy as jnp
+
+    dt = dtype if dtype is not None else jnp.float32
+    layers = load_reference_pickle(path)
+    if family == "resnet":
+        from deepprior_tpu.models import ResNet, ResNetConfig
+
+        variables = resnet_params_from_reference(layers)
+        head = variables["params"]
+    elif family == "poseregnet":
+        from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+
+        variables = poseregnet_params_from_reference(layers)
+        head = variables["params"]["MLPHead_0"]
+    else:
+        raise ValueError(f"unknown family {family!r}")
+
+    sizes = []
+    while f"Dense_{len(sizes)}" in head:
+        sizes.append(int(head[f"Dense_{len(sizes)}"]["bias"].shape[0]))
+    out = sizes[-1]
+    embedding = sizes[2] if len(sizes) >= 4 else None
+    needs_prior = embedding is None and (out % 3 != 0 or out == 30)
+    num_joints, n_dims = (1, out) if needs_prior else (out // 3, 3)
+
+    if family == "resnet":
+        cfg = ResNetConfig(num_joints=num_joints, n_dims=n_dims,
+                           embedding=embedding, dropout=False, dtype=dt,
+                           packed_conv=packed_conv)
+        model = ResNet(cfg)
+    else:
+        cfg = PoseRegNetConfig(num_joints=num_joints, n_dims=n_dims,
+                               embedding=embedding, dropout=False, dtype=dt,
+                               packed_conv=packed_conv)
+        model = PoseRegNet(cfg)
+    return model, variables, needs_prior

@@ -27,6 +27,11 @@ if __name__ == "__main__":
     p.add_argument("--threaded", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="trained network_prior.ckpt (random weights if absent)")
+    p.add_argument("--ref-pickle", default=None,
+                   help="a reference-trained .pkl[.gz] net (e.g. the "
+                        "network_prior.pkl a reference main saved): loads "
+                        "directly via utils.refweights, head config "
+                        "inferred from the pickle")
     p.add_argument("--model", default="poseregnet",
                    choices=["poseregnet", "resnet"],
                    help="resnet mirrors the reference realtime demo "
@@ -50,34 +55,51 @@ if __name__ == "__main__":
     from deepprior_tpu.realtime.pipeline import RealtimeHandposePipeline
 
     cam = NYU_CAMERA
-    if args.model == "resnet":
-        from deepprior_tpu.models import ResNet, ResNetConfig
-
-        # the reference realtime demo uses ResNet type 1 (30-D bottleneck)
-        model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
-    else:
-        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
     rng = np.random.default_rng(0)
-    if args.checkpoint:
-        from deepprior_tpu.train.checkpoint import load_checkpoint
+    if args.ref_pickle:
+        # a reference user's own trained net runs the demo directly
+        from deepprior_tpu.utils.refweights import model_from_reference_pickle
 
-        tree = {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-            "pca_components": np.zeros((30, 42), np.float32),
-            "pca_mean": np.zeros(42, np.float32),
-        }
-        tree, _ = load_checkpoint(args.checkpoint, tree)
-        variables = {"params": tree["params"]}
-        if tree["batch_stats"]:  # ResNet needs its BN running stats back
-            variables["batch_stats"] = tree["batch_stats"]
-        prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
-    else:
-        prior = PCAPrior(
-            components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
-            mean=np.zeros(42, np.float32),
+        model, variables, needs_prior = model_from_reference_pickle(
+            args.ref_pickle, args.model
         )
+        if needs_prior:
+            sys.exit(
+                "this pickle emits the PCA embedding (30-D) without the "
+                "decode layer; use the network_prior.pkl the reference "
+                "main saved (decode appended), or a --checkpoint that "
+                "carries the prior"
+            )
+        prior = None  # the pickle's appended decode layer does the job
+    else:
+        if args.model == "resnet":
+            from deepprior_tpu.models import ResNet, ResNetConfig
+
+            # the reference realtime demo uses ResNet type 1 (30-D bottleneck)
+            model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
+        else:
+            model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+        if args.checkpoint:
+            from deepprior_tpu.train.checkpoint import load_checkpoint
+
+            tree = {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "pca_components": np.zeros((30, 42), np.float32),
+                "pca_mean": np.zeros(42, np.float32),
+            }
+            tree, _ = load_checkpoint(args.checkpoint, tree)
+            variables = {"params": tree["params"]}
+            if tree["batch_stats"]:  # ResNet needs its BN running stats back
+                variables["batch_stats"] = tree["batch_stats"]
+            prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
+        else:
+            prior = PCAPrior(
+                components=rng.standard_normal((30, 42)).astype(np.float32)
+                * 0.05,
+                mean=np.zeros(42, np.float32),
+            )
 
     if args.device == "capture":
         lib = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu",

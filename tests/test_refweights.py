@@ -283,3 +283,66 @@ def test_resnet_import_roundtrip():
     y1 = model.apply(restored, x, train=False)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_model_from_reference_pickle_infers_head(tmp_path):
+    """network_prior-style pickle (decode appended, 4 denses): family +
+    head config inferred, outputs match the source net exactly."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.utils.refweights import (
+        model_from_reference_pickle,
+        reference_pickle_from_params,
+    )
+
+    src = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3, embedding=30,
+                                      dropout=False))
+    variables = src.init(jax.random.key(3), jnp.zeros((1, 128, 128, 1)))
+    state = reference_pickle_from_params(variables)
+    path = str(tmp_path / "network_prior.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump(state, fh, protocol=2)
+
+    model, loaded, needs_prior = model_from_reference_pickle(path, "poseregnet")
+    assert not needs_prior
+    assert model.cfg.num_joints == 14
+    assert model.cfg.n_dims == 3
+    assert model.cfg.embedding == 30
+
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (4, 128, 128, 1)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.apply(loaded, x)),
+        np.asarray(src.apply(variables, x)),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_model_from_reference_pickle_flags_embedding_net(tmp_path):
+    """A 3-dense, 30-D-output pickle is the pre-decode embedding net: the
+    caller must bring the PCA prior."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.utils.refweights import (
+        model_from_reference_pickle,
+        reference_pickle_from_params,
+    )
+
+    src = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30, dropout=False))
+    variables = src.init(jax.random.key(4), jnp.zeros((1, 128, 128, 1)))
+    path = str(tmp_path / "net.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump(reference_pickle_from_params(variables), fh, protocol=2)
+
+    model, _, needs_prior = model_from_reference_pickle(path, "poseregnet")
+    assert needs_prior
+    assert model.cfg.num_joints * model.cfg.n_dims == 30
