@@ -46,6 +46,22 @@ def build_server(args):
     from deepprior_tpu.realtime.fused import FusedEstimator
 
     cam = NYU_CAMERA
+    if getattr(args, "ref_pickle", None):
+        # serve a reference-trained net directly (head config inferred;
+        # the network_prior form carries its own decode layer)
+        from deepprior_tpu.utils.refweights import model_from_reference_pickle
+
+        model, variables, needs_prior = model_from_reference_pickle(
+            args.ref_pickle, args.model
+        )
+        if needs_prior:
+            raise SystemExit(
+                "this pickle emits the PCA embedding without the decode "
+                "layer; serve the network_prior.pkl form, or a "
+                "--checkpoint that carries the prior"
+            )
+        est = FusedEstimator(model, cam, prior=None)
+        return _wrap_server(args, est, variables)
     if args.model == "resnet":
         from deepprior_tpu.models import ResNet, ResNetConfig
 
@@ -77,6 +93,13 @@ def build_server(args):
             mean=np.zeros(42, np.float32),
         )
     est = FusedEstimator(model, cam, prior=prior)
+    return _wrap_server(args, est, variables)
+
+
+def _wrap_server(args, est, variables):
+    """Micro-batcher around the estimator; --dp > 1 shards over a mesh."""
+    from deepprior_tpu.realtime.batcher import MicroBatchServer
+
     if args.dp > 1:
         # multi-chip online serving: batch shards over the dp mesh axis
         # (max_batch stays the compiled shape, so it must be a multiple
@@ -168,6 +191,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="trained network_prior.ckpt (random weights if "
                         "absent)")
+    p.add_argument("--ref-pickle", default=None,
+                   help="serve a reference-trained .pkl[.gz] net directly "
+                        "(utils.refweights; head config inferred)")
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--dp", type=int, default=1,
