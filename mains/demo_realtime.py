@@ -42,6 +42,9 @@ if __name__ == "__main__":
     p.add_argument("--comref", action="store_true",
                    help="enable ScaleNet CNN CoM refinement in the detect "
                         "path (the reference's comrefNet)")
+    p.add_argument("--comref-pickle", default=None,
+                   help="reference-trained ScaleNet comrefNet .pkl[.gz] "
+                        "(implies --comref; random weights otherwise)")
     args = p.parse_args()
 
     import jax
@@ -117,14 +120,26 @@ if __name__ == "__main__":
 
     est = FusedEstimator(model, cam, prior=prior)
     com_refiner = None
-    if args.comref:
+    if args.comref or args.comref_pickle:
         from deepprior_tpu.models import ScaleNet, ScaleNetConfig
         from deepprior_tpu.ops.refine_cnn import CNNComRefiner
 
         refine_model = ScaleNet(ScaleNetConfig(num_joints=1, n_dims=3))
-        refine_vars = refine_model.init(
-            jax.random.key(1), jnp.zeros((1, 128, 128, 1))
-        )
+        if args.comref_pickle:
+            # the reference demo loads a trained comrefNet pickle
+            # (test_realtimepipeline.py:71-77)
+            from deepprior_tpu.utils.refweights import (
+                load_reference_pickle,
+                scalenet_params_from_reference,
+            )
+
+            refine_vars = scalenet_params_from_reference(
+                load_reference_pickle(args.comref_pickle)
+            )
+        else:
+            refine_vars = refine_model.init(
+                jax.random.key(1), jnp.zeros((1, 128, 128, 1))
+            )
         com_refiner = CNNComRefiner(refine_model, refine_vars, cam)
     pipe = RealtimeHandposePipeline(
         est, variables,
