@@ -80,6 +80,7 @@ class MicroBatchServer:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._running = True
+        self._frame_shape: Optional[tuple] = None
         # orders submit's {check _running, enqueue} against close's
         # {clear _running, enqueue sentinel}: without it a submit racing
         # close can enqueue AFTER the collector drained past the
@@ -107,10 +108,17 @@ class MicroBatchServer:
                 "per-request cube/mirror need a single-device "
                 "FusedEstimator (the sharded pipeline is fixed-config)"
             )
+        d = np.asarray(depth, np.float32)
+        c = np.asarray(com, np.float32)
+        if d.ndim != 2 or c.shape != (3,):
+            raise ValueError(
+                f"bad request shapes: depth {d.shape} (want (H, W)), "
+                f"com {c.shape} (want (3,))"
+            )
         fut: Future = Future()
         req = _Request(
-            depth=np.asarray(depth, np.float32),
-            com=np.asarray(com, np.float32),
+            depth=d,
+            com=c,
             cube=None if cube is None else np.asarray(cube, np.float32),
             mirror=bool(mirror),
             future=fut,
@@ -118,6 +126,18 @@ class MicroBatchServer:
         with self._submit_lock:
             if not self._running:
                 raise RuntimeError("server is closed")
+            # all requests of a batch np.stack together (and share ONE
+            # compiled program), so the frame resolution is a server-wide
+            # invariant pinned by the first request: rejecting a stray
+            # resolution HERE fails only that caller instead of erroring
+            # every future co-batched with it
+            if self._frame_shape is None:
+                self._frame_shape = d.shape
+            elif d.shape != self._frame_shape:
+                raise ValueError(
+                    f"frame shape {d.shape} does not match this server's "
+                    f"{self._frame_shape} (set by its first request)"
+                )
             self._q.put(req)
         return fut
 

@@ -52,6 +52,24 @@ def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
     os.replace(tmp, path)
 
 
+def checkpoint_keys(path: str) -> set:
+    """Top-level key names of a stored checkpoint tree.
+
+    Cheap structure probe so loaders can build a matching restore target
+    for optional subtrees (e.g. the trainer's persisted best-weights
+    tracker) without tripping the shape-recovery fallback on checkpoints
+    written before the subtree existed."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not a deepprior_tpu checkpoint")
+        n = int.from_bytes(f.read(8), "little")
+        f.read(n)
+        blob = f.read()
+    raw = serialization.msgpack_restore(blob)
+    return set(raw.keys()) if isinstance(raw, dict) else set()
+
+
 def load_checkpoint(
     path: str, target: Any, config: Any = None, strict: bool = False
 ) -> Tuple[Any, bool]:

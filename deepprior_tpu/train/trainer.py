@@ -66,6 +66,21 @@ class TrainConfig(NamedTuple):
     model_has_dropout: bool = True  # gates weight decay (reference semantics)
 
 
+def _fast_forward_key(key, n: int):
+    """Advance a split-chain key (carry = split(key)[0]) by n splits as ONE
+    jitted scan — the eager per-split host loop costs a device round trip
+    per consumed epoch/segment (~30 ms each through a remote tunnel), which
+    turns a deep resume into minutes of startup stall."""
+    if n <= 0:
+        return key
+    return jax.jit(
+        lambda k, m: jax.lax.scan(
+            lambda c, _: (jax.random.split(c)[0], None), k, None, length=m
+        )[0],
+        static_argnums=1,
+    )(key, n)
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
@@ -389,29 +404,46 @@ class Trainer:
         return out, mods["intermediates"]
 
     # ------------------------------------------------------------------
-    def save_train_state(self, path: str, state: TrainState, epoch: int):
+    def save_train_state(
+        self, path: str, state: TrainState, epoch: int, best=None
+    ):
         """Full resumable snapshot: params, batch stats, optimizer moments,
         step and epoch (extends the reference's params-only net_last.pkl
-        snapshots, nettrainer.py:816-820)."""
+        snapshots, nettrainer.py:816-820).
+
+        `best` is fit()'s early-stopping tracker (val_error, params,
+        batch_stats, epoch); persisting it keeps --resume bit-identical
+        when the pre-interruption global best would otherwise be lost
+        (the reference keeps best weights in RAM only, nettrainer.py:
+        884-902, and cannot resume at all)."""
         from deepprior_tpu.train.checkpoint import save_checkpoint
 
-        save_checkpoint(
-            path,
-            {
-                "params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats),
-                "opt_state": jax.device_get(state.opt_state),
-                "step": int(state.step),
-                "epoch": epoch,
-            },
-            config=self.cfg._asdict(),
-        )
+        tree = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+            "epoch": epoch,
+        }
+        if best is not None and best[1] is not None:
+            tree["best"] = {
+                "val": float(best[0]),
+                "params": jax.device_get(best[1]),
+                "batch_stats": jax.device_get(best[2]),
+                "epoch": int(best[3]),
+            }
+        save_checkpoint(path, tree, config=self.cfg._asdict())
 
     def load_train_state(self, path: str, state: TrainState):
         """Restore a resumable snapshot into an initialized state.
 
-        Returns (state, next_epoch)."""
-        from deepprior_tpu.train.checkpoint import load_checkpoint
+        Returns (state, next_epoch).  If the snapshot carries the
+        early-stopping best tracker it is stashed on the trainer; the next
+        fit()/fit_streamed() resume consumes it."""
+        from deepprior_tpu.train.checkpoint import (
+            checkpoint_keys,
+            load_checkpoint,
+        )
 
         target = {
             "params": jax.device_get(state.params),
@@ -420,7 +452,23 @@ class Trainer:
             "step": 0,
             "epoch": 0,
         }
+        has_best = "best" in checkpoint_keys(path)
+        if has_best:
+            target["best"] = {
+                "val": 0.0,
+                "params": target["params"],
+                "batch_stats": target["batch_stats"],
+                "epoch": 0,
+            }
         tree, _ = load_checkpoint(path, target, config=self.cfg._asdict())
+        if has_best:
+            b = tree["best"]
+            self._resumed_best = (
+                float(b["val"]), b["params"], b["batch_stats"],
+                int(b["epoch"]),
+            )
+        else:
+            self._resumed_best = None
         new_state = TrainState(
             params=jax.tree.map(jnp.asarray, tree["params"]),
             batch_stats=jax.tree.map(jnp.asarray, tree["batch_stats"]),
@@ -428,6 +476,13 @@ class Trainer:
             step=jnp.asarray(tree["step"], jnp.int32),
         )
         return new_state, int(tree["epoch"]) + 1
+
+    def _take_resumed_best(self):
+        """Consume the best tracker stashed by load_train_state (one-shot;
+        older snapshots without it resume with a fresh tracker)."""
+        best = getattr(self, "_resumed_best", None)
+        self._resumed_best = None
+        return best if best is not None else (np.inf, None, None, -1)
 
     # ------------------------------------------------------------------
     def check_nans(self, state: TrainState):
@@ -486,10 +541,16 @@ class Trainer:
         sub_epoch = bool(seg) and val_dev is not None
         for _ in range(start_epoch):
             rng.permutation(n)
-            for _s in range(0, steps, seg) if sub_epoch else (0,):
-                key, _ = jax.random.split(key)
+        splits_per_epoch = len(range(0, steps, seg)) if sub_epoch else 1
+        if start_epoch:
+            key = _fast_forward_key(key, start_epoch * splits_per_epoch)
 
-        best = (np.inf, None, None, -1)  # (val error, params, batch_stats, epoch)
+        # (val error, params, batch_stats, epoch); a resume continues from
+        # the snapshot's persisted tracker so the pre-interruption global
+        # best survives (bit-identical early stopping across --resume)
+        best = self._take_resumed_best() if start_epoch else (
+            np.inf, None, None, -1
+        )
         t0 = time.time()
         for epoch in range(start_epoch, n_epochs):
             if on_epoch_start is not None:
@@ -561,7 +622,9 @@ class Trainer:
             if on_epoch_end is not None:
                 on_epoch_end(epoch, state, costs)
             if snapshot_path and (epoch % cfg.snapshot_every) == 0:
-                self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
+                self.save_train_state(
+                    f"{snapshot_path}_last.ckpt", state, epoch, best=best
+                )
 
         if cfg.use_early_stopping and best[1] is not None:
             log(f"best params at epoch {best[3]} (val {best[0]:.3f}mm)")
@@ -700,13 +763,7 @@ class Trainer:
         if start_epoch:
             # one split per minibatch, exactly as the chunk scan consumes
             # them (key, skey = split(key); carry = split(key)[0])
-            key = jax.jit(
-                lambda k, n: jax.lax.scan(
-                    lambda c, _: (jax.random.split(c)[0], None), k, None,
-                    length=n,
-                )[0],
-                static_argnums=1,
-            )(key, start_epoch * steps_per_epoch)
+            key = _fast_forward_key(key, start_epoch * steps_per_epoch)
         it = DevicePrefetcher(
             macro_chunks(arrays, cfg.batch_size, n_epochs, chunk_steps,
                          seed=cfg.seed, start_epoch=start_epoch),
@@ -715,7 +772,9 @@ class Trainer:
             # data axes (stream_put_chunk) instead of landing on one device
             device=getattr(self, "stream_put_chunk", None),
         )
-        best = (np.inf, None, None, -1)
+        best = self._take_resumed_best() if start_epoch else (
+            np.inf, None, None, -1
+        )
         t0 = time.time()
         costs: list = []
         done_steps = 0
@@ -761,7 +820,9 @@ class Trainer:
                         )
                 log(msg)
                 if snapshot_path and (epoch % cfg.snapshot_every) == 0:
-                    self.save_train_state(f"{snapshot_path}_last.ckpt", state, epoch)
+                    self.save_train_state(
+                        f"{snapshot_path}_last.ckpt", state, epoch, best=best
+                    )
                 costs = []
         finally:
             # abandoning iteration early (an exception above) must not

@@ -281,7 +281,8 @@ def reference_pickle_from_params(variables: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def model_from_reference_pickle(path: str, family: str, dtype=None,
-                                packed_conv: bool = False):
+                                packed_conv: bool = False,
+                                out_is_embedding=None):
     """One-call load of a reference-trained net: pickle -> (model,
     variables, needs_prior).
 
@@ -298,6 +299,12 @@ def model_from_reference_pickle(path: str, family: str, dtype=None,
       the PCA embedding — needs_prior=True, and the caller must decode
       through the matching `prior.PCAPrior` (no reference dataset has 10
       joints, so 30 is unambiguous).
+
+    A 3-dense stack ending in another multiple of 3 is AMBIGUOUS from the
+    pickle alone (42 = 14 joints x 3 = NYU direct regression, but also a
+    valid non-default PCA size): the heuristic assumes direct regression
+    and warns; pass ``out_is_embedding=True``/``False`` to decide
+    explicitly for nets trained with a non-default ``nDims``.
 
     family: "poseregnet" | "resnet" (ScaleNet CoM refiners go through
     ops.refine_cnn instead).  dropout layers carry no pickle params and
@@ -325,7 +332,20 @@ def model_from_reference_pickle(path: str, family: str, dtype=None,
         sizes.append(int(head[f"Dense_{len(sizes)}"]["bias"].shape[0]))
     out = sizes[-1]
     embedding = sizes[2] if len(sizes) >= 4 else None
-    needs_prior = embedding is None and (out % 3 != 0 or out == 30)
+    if embedding is not None:  # decode layer appended: output is mm pose
+        needs_prior = False
+    elif out_is_embedding is not None:
+        needs_prior = bool(out_is_embedding)
+    else:
+        needs_prior = out % 3 != 0 or out == 30
+        if not needs_prior and out != 30:
+            print(
+                f"WARNING: {path} ends in a bare {out}-dim dense; "
+                f"treating it as direct {out // 3}-joint regression. If "
+                "this net was trained with a non-default PCA size "
+                f"(nDims={out}), pass out_is_embedding=True and decode "
+                "through its PCAPrior."
+            )
     num_joints, n_dims = (1, out) if needs_prior else (out // 3, 3)
 
     if family == "resnet":

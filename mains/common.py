@@ -164,6 +164,71 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def load_serving_net(model_name, ref_pickle=None, checkpoint=None):
+    """Model + variables + prior for the serving entry points (shared by
+    demo_realtime and serve_http so the checkpoint tree layout lives in
+    exactly one place).
+
+    Resolution order: a reference-trained pickle (utils.refweights; must
+    carry its own appended decode layer, reference
+    main_nyu_posereg_embedding.py:148-158), else a network_prior.ckpt as
+    written by run_posereg_embedding, else random weights + random prior
+    (pipeline smoke mode).  Returns (model, variables, prior) where prior
+    is None when the net decodes to mm joints itself."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import PCAPrior
+
+    if ref_pickle:
+        from deepprior_tpu.utils.refweights import (
+            model_from_reference_pickle,
+        )
+
+        model, variables, needs_prior = model_from_reference_pickle(
+            ref_pickle, model_name
+        )
+        if needs_prior:
+            raise SystemExit(
+                "this pickle emits the PCA embedding without the decode "
+                "layer; use the network_prior.pkl form the reference main "
+                "saved (decode appended), or a --checkpoint that carries "
+                "the prior"
+            )
+        return model, variables, None  # the appended decode layer decodes
+    if model_name == "resnet":
+        from deepprior_tpu.models import ResNet, ResNetConfig
+
+        # the reference realtime demo uses ResNet type 1 (30-D bottleneck)
+        model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
+    else:
+        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    if checkpoint:
+        from deepprior_tpu.train.checkpoint import load_checkpoint
+
+        tree = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "pca_components": np.zeros((30, 42), np.float32),
+            "pca_mean": np.zeros(42, np.float32),
+        }
+        tree, _ = load_checkpoint(checkpoint, tree)
+        variables = {"params": tree["params"]}
+        if tree["batch_stats"]:  # ResNet needs its BN running stats back
+            variables["batch_stats"] = tree["batch_stats"]
+        prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
+    else:
+        rng = np.random.default_rng(0)
+        prior = PCAPrior(
+            components=rng.standard_normal((30, 42)).astype(np.float32)
+            * 0.05,
+            mean=np.zeros(42, np.float32),
+        )
+    return model, variables, prior
+
+
 def _maybe_resume(args, trainer, state, outdir):
     """Restore the rolling snapshot written by fit() when --resume.
 

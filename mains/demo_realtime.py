@@ -47,62 +47,17 @@ if __name__ == "__main__":
                         "(implies --comref; random weights otherwise)")
     args = p.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from deepprior_tpu.camera import NYU_CAMERA
-    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
-    from deepprior_tpu.prior import PCAPrior
     from deepprior_tpu.realtime.camera import CaptureDevice, SyntheticDevice
     from deepprior_tpu.realtime.fused import FusedEstimator
     from deepprior_tpu.realtime.pipeline import RealtimeHandposePipeline
 
     cam = NYU_CAMERA
-    rng = np.random.default_rng(0)
-    if args.ref_pickle:
-        # a reference user's own trained net runs the demo directly
-        from deepprior_tpu.utils.refweights import model_from_reference_pickle
-
-        model, variables, needs_prior = model_from_reference_pickle(
-            args.ref_pickle, args.model
-        )
-        if needs_prior:
-            sys.exit(
-                "this pickle emits the PCA embedding (30-D) without the "
-                "decode layer; use the network_prior.pkl the reference "
-                "main saved (decode appended), or a --checkpoint that "
-                "carries the prior"
-            )
-        prior = None  # the pickle's appended decode layer does the job
-    else:
-        if args.model == "resnet":
-            from deepprior_tpu.models import ResNet, ResNetConfig
-
-            # the reference realtime demo uses ResNet type 1 (30-D bottleneck)
-            model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
-        else:
-            model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
-        variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
-        if args.checkpoint:
-            from deepprior_tpu.train.checkpoint import load_checkpoint
-
-            tree = {
-                "params": variables["params"],
-                "batch_stats": variables.get("batch_stats", {}),
-                "pca_components": np.zeros((30, 42), np.float32),
-                "pca_mean": np.zeros(42, np.float32),
-            }
-            tree, _ = load_checkpoint(args.checkpoint, tree)
-            variables = {"params": tree["params"]}
-            if tree["batch_stats"]:  # ResNet needs its BN running stats back
-                variables["batch_stats"] = tree["batch_stats"]
-            prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
-        else:
-            prior = PCAPrior(
-                components=rng.standard_normal((30, 42)).astype(np.float32)
-                * 0.05,
-                mean=np.zeros(42, np.float32),
-            )
+    # shared checkpoint/ref-pickle/random-prior resolution (common.py keeps
+    # the tree layout in one place for every serving entry point)
+    model, variables, prior = common.load_serving_net(
+        args.model, ref_pickle=args.ref_pickle, checkpoint=args.checkpoint
+    )
 
     if args.device == "capture":
         lib = os.path.join(os.path.dirname(__file__), "..", "deepprior_tpu",
@@ -137,6 +92,9 @@ if __name__ == "__main__":
                 load_reference_pickle(args.comref_pickle)
             )
         else:
+            import jax
+            import jax.numpy as jnp
+
             refine_vars = refine_model.init(
                 jax.random.key(1), jnp.zeros((1, 128, 128, 1))
             )

@@ -36,63 +36,14 @@ import common  # noqa: F401,E402  (platform pinning + compile cache)
 
 def build_server(args):
     """Model + estimator + micro-batcher from the parsed flags."""
-    import jax
-    import jax.numpy as jnp
-
     from deepprior_tpu.camera import NYU_CAMERA
-    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
-    from deepprior_tpu.prior import PCAPrior
-    from deepprior_tpu.realtime.batcher import MicroBatchServer
     from deepprior_tpu.realtime.fused import FusedEstimator
 
-    cam = NYU_CAMERA
-    if getattr(args, "ref_pickle", None):
-        # serve a reference-trained net directly (head config inferred;
-        # the network_prior form carries its own decode layer)
-        from deepprior_tpu.utils.refweights import model_from_reference_pickle
-
-        model, variables, needs_prior = model_from_reference_pickle(
-            args.ref_pickle, args.model
-        )
-        if needs_prior:
-            raise SystemExit(
-                "this pickle emits the PCA embedding without the decode "
-                "layer; serve the network_prior.pkl form, or a "
-                "--checkpoint that carries the prior"
-            )
-        est = FusedEstimator(model, cam, prior=None)
-        return _wrap_server(args, est, variables)
-    if args.model == "resnet":
-        from deepprior_tpu.models import ResNet, ResNetConfig
-
-        model = ResNet(ResNetConfig(num_joints=1, n_dims=30))
-    else:
-        model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
-    variables = model.init(
-        jax.random.key(0), jnp.zeros((1, 128, 128, 1))
+    model, variables, prior = common.load_serving_net(
+        args.model, ref_pickle=getattr(args, "ref_pickle", None),
+        checkpoint=args.checkpoint,
     )
-    if args.checkpoint:
-        from deepprior_tpu.train.checkpoint import load_checkpoint
-
-        tree = {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-            "pca_components": np.zeros((30, 42), np.float32),
-            "pca_mean": np.zeros(42, np.float32),
-        }
-        tree, _ = load_checkpoint(args.checkpoint, tree)
-        variables = {"params": tree["params"]}
-        if tree["batch_stats"]:
-            variables["batch_stats"] = tree["batch_stats"]
-        prior = PCAPrior(tree["pca_components"], tree["pca_mean"])
-    else:
-        rng = np.random.default_rng(0)
-        prior = PCAPrior(
-            components=rng.standard_normal((30, 42)).astype(np.float32)
-            * 0.05,
-            mean=np.zeros(42, np.float32),
-        )
-    est = FusedEstimator(model, cam, prior=prior)
+    est = FusedEstimator(model, NYU_CAMERA, prior=prior)
     return _wrap_server(args, est, variables)
 
 
@@ -170,6 +121,16 @@ def make_handler(server):
                 return
             try:
                 fut = server.submit(depth, com, cube=cube, mirror=mirror)
+            except ValueError as e:
+                # request invalid for this deployment (shape mismatch,
+                # per-request cube/mirror on a sharded server): client
+                # error, not a 5xx that pages on server health
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            except RuntimeError as e:  # submit raced shutdown
+                self._json(503, {"error": str(e)})
+                return
+            try:
                 joints = fut.result(timeout=60.0)
             except Exception as e:
                 self._json(500, {"error": str(e)})

@@ -346,3 +346,34 @@ def test_model_from_reference_pickle_flags_embedding_net(tmp_path):
     model, _, needs_prior = model_from_reference_pickle(path, "poseregnet")
     assert needs_prior
     assert model.cfg.num_joints * model.cfg.n_dims == 30
+
+
+def test_model_from_reference_pickle_embedding_override(tmp_path):
+    """A bare 42-dim output is ambiguous (NYU 14x3 direct regression vs a
+    non-default 42-D PCA embedding): the heuristic picks regression, and
+    out_is_embedding=True forces the embedding reading."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.utils.refweights import (
+        model_from_reference_pickle,
+        reference_pickle_from_params,
+    )
+
+    src = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=42, dropout=False))
+    variables = src.init(jax.random.key(6), jnp.zeros((1, 128, 128, 1)))
+    path = str(tmp_path / "net42.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump(reference_pickle_from_params(variables), fh, protocol=2)
+
+    model, _, needs_prior = model_from_reference_pickle(path, "poseregnet")
+    assert not needs_prior and model.cfg.num_joints == 14
+
+    model, _, needs_prior = model_from_reference_pickle(
+        path, "poseregnet", out_is_embedding=True
+    )
+    assert needs_prior
+    assert model.cfg.num_joints == 1 and model.cfg.n_dims == 42

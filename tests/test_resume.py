@@ -60,6 +60,55 @@ def test_resume_matches_uninterrupted(setup, tmp_path):
     assert int(s3_final.step) == int(s1.step)
 
 
+def test_early_stopping_best_survives_resume(setup, tmp_path):
+    """The early-stopping tracker is persisted in snapshots and consumed on
+    resume: without this, a resumed run forgets the pre-interruption global
+    best and restores the best of the remaining epochs only (breaking the
+    bit-identical-resume contract for the default early-stopping config)."""
+    import jax
+
+    cam, data, model, _ = setup
+    cfg = TrainConfig(batch_size=16, learning_rate=0.002, n_epochs=4,
+                      aug_modes=None, snapshot_every=1,
+                      use_early_stopping=True, eval_every=1)
+    t = Trainer(model, cfg, cam)
+    s = t.init_state(np.asarray(data.crops[:16]))
+
+    # fabricate an unbeatable pre-interruption best (the INITIAL params,
+    # distinctive vs anything training produces) and round-trip it
+    best_params = jax.device_get(s.params)
+    best_stats = jax.device_get(s.batch_stats)
+    path = str(tmp_path / "best_snap.ckpt")
+    t.save_train_state(path, s, epoch=1,
+                       best=(1e-9, best_params, best_stats, 0))
+
+    t2 = Trainer(model, cfg, cam)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    s2, next_epoch = t2.load_train_state(path, s2)
+    assert next_epoch == 2
+    restored = t2._take_resumed_best()
+    assert restored[0] == 1e-9 and restored[3] == 0
+    for a, b in zip(jax.tree.leaves(best_params), jax.tree.leaves(restored[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # behavioral: the resumed epochs can never beat val=1e-9, so the final
+    # early-stopping restore must hand back the persisted best weights
+    t3 = Trainer(model, cfg, cam)
+    s3 = t3.init_state(np.asarray(data.crops[:16]))
+    s3, next_epoch = t3.load_train_state(path, s3)
+    s3f, _ = t3.fit(s3, data, val_data=data, start_epoch=next_epoch,
+                    log=lambda m: None)
+    for a, b in zip(jax.tree.leaves(best_params), jax.tree.leaves(s3f.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # legacy snapshots (no persisted tracker) still load, with a fresh one
+    t4 = Trainer(model, cfg, cam)
+    s4 = t4.init_state(np.asarray(data.crops[:16]))
+    t4.save_train_state(path, s4, epoch=0)
+    s4, _ = t4.load_train_state(path, s4)
+    assert t4._take_resumed_best()[1] is None
+
+
 def test_snapshot_written_during_fit(setup, tmp_path):
     cam, data, model, cfg = setup
     t = Trainer(model, cfg, cam)

@@ -107,18 +107,23 @@ def test_batcher_per_request_cube_and_mirror(setup):
 
 
 def test_batcher_error_isolation(setup):
-    """A bad request fails its own batch's futures with the exception;
-    the server keeps serving afterwards."""
+    """A malformed request fails AT SUBMIT (its caller alone); requests
+    co-batched with it are unaffected and the server keeps serving."""
     est, variables, depth, com = setup
     with MicroBatchServer(est, variables, max_batch=4,
                           max_wait_ms=1.0) as srv:
-        # 1-D "frame": the pipeline requires (B, H, W) depth
-        bad = srv.submit(np.zeros((9,), np.float32), com[0])
-        with pytest.raises(Exception):
-            bad.result(timeout=120)
-        assert srv.stats["errors"] == 1
+        # 1-D "frame": the pipeline requires (H, W) depth
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((9,), np.float32), com[0])
         ok = srv.submit(depth[0], com[0]).result(timeout=120)
         assert ok.shape == (14, 3)
+        # a stray RESOLUTION is also rejected per-request: np.stack over a
+        # mixed batch would otherwise fail every co-batched future
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((32, 48), np.float32), com[0])
+        ok2 = srv.submit(depth[0], com[0]).result(timeout=120)
+        assert ok2.shape == (14, 3)
+        assert srv.stats["errors"] == 0  # no batch ever failed
 
 
 def test_batcher_close_rejects_new_work(setup):
