@@ -62,6 +62,7 @@ class MicroBatchServer:
         variables: Any,
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        frame_shape: Optional[tuple] = None,
     ):
         """``est`` is a FusedEstimator with ``variables`` its pytree — or,
         for multi-chip online serving, a parallel/serve.py
@@ -70,7 +71,12 @@ class MicroBatchServer:
         multiple of the mesh's data-axis size (the fixed compiled batch
         makes that invariant hold for any traffic), and per-request
         cube/mirror are unsupported (ShardedEstimator partitions the
-        fixed-config pipeline)."""
+        fixed-config pipeline).
+
+        ``frame_shape`` pins the accepted (H, W); by default it is taken
+        from the estimator's camera resolution, so a stray first request
+        with a wrong-but-valid shape can never lock the server to it (it
+        fails its own caller with a 4xx-class ValueError instead)."""
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.est = est
@@ -80,7 +86,19 @@ class MicroBatchServer:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._running = True
-        self._frame_shape: Optional[tuple] = None
+        if frame_shape is None:
+            cam = getattr(est, "camera", None)
+            if cam is None:  # ShardedEstimator wraps the FusedEstimator
+                cam = getattr(getattr(est, "est", None), "camera", None)
+            if cam is not None:
+                frame_shape = (int(cam.height), int(cam.width))
+        # pinned (H, W); None only when the estimator carries no camera,
+        # in which case the shape commits on the first SUCCESSFUL batch
+        # (never on a mere submit, which could poison the server lifetime)
+        self._frame_shape: Optional[tuple] = (
+            tuple(frame_shape) if frame_shape is not None else None
+        )
+        self._tentative_shape: Optional[tuple] = None
         # orders submit's {check _running, enqueue} against close's
         # {clear _running, enqueue sentinel}: without it a submit racing
         # close can enqueue AFTER the collector drained past the
@@ -128,15 +146,19 @@ class MicroBatchServer:
                 raise RuntimeError("server is closed")
             # all requests of a batch np.stack together (and share ONE
             # compiled program), so the frame resolution is a server-wide
-            # invariant pinned by the first request: rejecting a stray
-            # resolution HERE fails only that caller instead of erroring
-            # every future co-batched with it
-            if self._frame_shape is None:
-                self._frame_shape = d.shape
-            elif d.shape != self._frame_shape:
+            # invariant: rejecting a stray resolution HERE fails only
+            # that caller instead of erroring every future co-batched
+            # with it.  The pin comes from the estimator's camera (or an
+            # explicit frame_shape) at construction; in the cameraless
+            # fallback it only commits after a batch SUCCEEDS, so a bad
+            # early request cannot poison the server lifetime.
+            pin = self._frame_shape or self._tentative_shape
+            if pin is None:
+                self._tentative_shape = d.shape
+            elif d.shape != pin:
                 raise ValueError(
                     f"frame shape {d.shape} does not match this server's "
-                    f"{self._frame_shape} (set by its first request)"
+                    f"{pin}"
                 )
             self._q.put(req)
         return fut
@@ -190,8 +212,18 @@ class MicroBatchServer:
             if items:
                 try:
                     self._run_batch(items)
+                    if self._frame_shape is None:
+                        # cameraless fallback: the shape is proven good
+                        with self._submit_lock:
+                            self._frame_shape = items[0].depth.shape
+                            self._tentative_shape = None
                 except Exception as e:  # resolve callers, keep serving
                     self.stats["errors"] += 1
+                    if self._frame_shape is None:
+                        # never commit a shape that failed: let the next
+                        # caller re-propose one
+                        with self._submit_lock:
+                            self._tentative_shape = None
                     for r in items:
                         if not r.future.done():
                             r.future.set_exception(e)

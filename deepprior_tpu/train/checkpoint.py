@@ -58,16 +58,109 @@ def checkpoint_keys(path: str) -> set:
     Cheap structure probe so loaders can build a matching restore target
     for optional subtrees (e.g. the trainer's persisted best-weights
     tracker) without tripping the shape-recovery fallback on checkpoints
-    written before the subtree existed."""
+    written before the subtree existed.
+
+    Genuinely cheap: reads only the top-level msgpack map header and its
+    key strings, seeking PAST every value (the parameter blobs) — a full
+    msgpack_restore here would deserialize the entire checkpoint a second
+    time on every resume, doubling resume I/O and peak host memory.  Any
+    parse surprise falls back to the full decode."""
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
             raise ValueError(f"{path} is not a deepprior_tpu checkpoint")
         n = int.from_bytes(f.read(8), "little")
-        f.read(n)
-        blob = f.read()
-    raw = serialization.msgpack_restore(blob)
-    return set(raw.keys()) if isinstance(raw, dict) else set()
+        f.seek(n, os.SEEK_CUR)
+        try:
+            return _msgpack_top_level_keys(f)
+        except Exception:
+            f.seek(len(MAGIC) + 8 + n)
+            raw = serialization.msgpack_restore(f.read())
+            return set(raw.keys()) if isinstance(raw, dict) else set()
+
+
+def _msgpack_read(f, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError("truncated msgpack stream")
+    return b
+
+
+def _msgpack_skip(f) -> None:
+    """Advance `f` past one msgpack value without materializing it
+    (container headers recurse; byte payloads are seeked over)."""
+    t = _msgpack_read(f, 1)[0]
+    if t <= 0x7F or 0xE0 <= t <= 0xFF or t in (0xC0, 0xC2, 0xC3):
+        return  # fixint / nil / bool
+    if 0x80 <= t <= 0x8F:  # fixmap
+        for _ in range(2 * (t & 0x0F)):
+            _msgpack_skip(f)
+        return
+    if 0x90 <= t <= 0x9F:  # fixarray
+        for _ in range(t & 0x0F):
+            _msgpack_skip(f)
+        return
+    if 0xA0 <= t <= 0xBF:  # fixstr
+        f.seek(t & 0x1F, os.SEEK_CUR)
+        return
+    if t in (0xC4, 0xC5, 0xC6):  # bin8/16/32
+        ln = int.from_bytes(_msgpack_read(f, 1 << (t - 0xC4)), "big")
+        f.seek(ln, os.SEEK_CUR)
+        return
+    if t in (0xC7, 0xC8, 0xC9):  # ext8/16/32 (+1 type byte)
+        ln = int.from_bytes(_msgpack_read(f, 1 << (t - 0xC7)), "big")
+        f.seek(ln + 1, os.SEEK_CUR)
+        return
+    if t in (0xCA, 0xCB):  # float32/64
+        f.seek(4 if t == 0xCA else 8, os.SEEK_CUR)
+        return
+    if 0xCC <= t <= 0xD3:  # uint8-64 / int8-64
+        f.seek(1 << ((t - 0xCC) & 0x03), os.SEEK_CUR)
+        return
+    if 0xD4 <= t <= 0xD8:  # fixext1/2/4/8/16 (+1 type byte)
+        f.seek((1 << (t - 0xD4)) + 1, os.SEEK_CUR)
+        return
+    if t in (0xD9, 0xDA, 0xDB):  # str8/16/32
+        ln = int.from_bytes(_msgpack_read(f, 1 << (t - 0xD9)), "big")
+        f.seek(ln, os.SEEK_CUR)
+        return
+    if t in (0xDC, 0xDD):  # array16/32
+        cnt = int.from_bytes(_msgpack_read(f, 2 if t == 0xDC else 4), "big")
+        for _ in range(cnt):
+            _msgpack_skip(f)
+        return
+    if t in (0xDE, 0xDF):  # map16/32
+        cnt = int.from_bytes(_msgpack_read(f, 2 if t == 0xDE else 4), "big")
+        for _ in range(2 * cnt):
+            _msgpack_skip(f)
+        return
+    raise ValueError(f"unknown msgpack type byte 0x{t:02x}")
+
+
+def _msgpack_top_level_keys(f) -> set:
+    """Key strings of the msgpack map starting at f's position; values
+    are skipped, not decoded."""
+    t = _msgpack_read(f, 1)[0]
+    if 0x80 <= t <= 0x8F:
+        cnt = t & 0x0F
+    elif t == 0xDE:
+        cnt = int.from_bytes(_msgpack_read(f, 2), "big")
+    elif t == 0xDF:
+        cnt = int.from_bytes(_msgpack_read(f, 4), "big")
+    else:
+        return set()  # not a map at the top level
+    keys = set()
+    for _ in range(cnt):
+        kt = _msgpack_read(f, 1)[0]
+        if 0xA0 <= kt <= 0xBF:
+            ln = kt & 0x1F
+        elif kt in (0xD9, 0xDA, 0xDB):
+            ln = int.from_bytes(_msgpack_read(f, 1 << (kt - 0xD9)), "big")
+        else:
+            raise ValueError(f"non-string checkpoint key type 0x{kt:02x}")
+        keys.add(_msgpack_read(f, ln).decode("utf-8"))
+        _msgpack_skip(f)
+    return keys
 
 
 def load_checkpoint(
@@ -123,11 +216,15 @@ def load_checkpoint(
             for rkey, rval in flat_raw.items():
                 if rkey in used or getattr(rval, "shape", None) != tshape:
                     continue
-                # prefer matching trailing path components
-                score = _suffix_score(tkey, rkey)
+                # prefer matching trailing path components; break ties by
+                # leading components — ('params', ..., 'kernel') must pick
+                # stored 'params/...' over 'best/params/...' (the stale
+                # best-tracker duplicate scores the same suffix), and vice
+                # versa, independent of dict iteration order
+                score = (_suffix_score(tkey, rkey), _prefix_score(tkey, rkey))
                 if best is None or score > best[0]:
                     best = (score, rkey, rval)
-            if best is not None and best[0] > 0:
+            if best is not None and best[0][0] > 0:
                 used.add(best[1])
                 restored[tkey] = best[2]
         rebuilt = _unflatten(restored)
@@ -161,6 +258,15 @@ def _unflatten(flat):
 def _suffix_score(a: Tuple[str, ...], b: Tuple[str, ...]) -> int:
     s = 0
     for x, y in zip(reversed(a), reversed(b)):
+        if x != y:
+            break
+        s += 1
+    return s
+
+
+def _prefix_score(a: Tuple[str, ...], b: Tuple[str, ...]) -> int:
+    s = 0
+    for x, y in zip(a, b):
         if x != y:
             break
         s += 1

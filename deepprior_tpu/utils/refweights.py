@@ -336,6 +336,15 @@ def model_from_reference_pickle(path: str, family: str, dtype=None,
         needs_prior = False
     elif out_is_embedding is not None:
         needs_prior = bool(out_is_embedding)
+        if not needs_prior and out % 3 != 0:
+            # direct regression decodes as (J, 3); a non-multiple-of-3
+            # head cannot be one — fail at the override site instead of
+            # surfacing later as a confusing reshape error
+            raise ValueError(
+                f"out_is_embedding=False is impossible: the net ends in "
+                f"a {out}-dim dense, and direct regression needs a "
+                f"multiple-of-3 output"
+            )
     else:
         needs_prior = out % 3 != 0 or out == 30
         if not needs_prior and out != 30:

@@ -377,3 +377,33 @@ def test_model_from_reference_pickle_embedding_override(tmp_path):
     )
     assert needs_prior
     assert model.cfg.num_joints == 1 and model.cfg.n_dims == 42
+
+
+def test_out_is_embedding_false_rejects_non_multiple_of_3(tmp_path):
+    """out_is_embedding=False with an out % 3 != 0 head is an impossible
+    direct-regression net; it must fail at the override site with a clear
+    message, not later as a reshape error (ADVICE r3)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.utils.refweights import (
+        model_from_reference_pickle,
+        reference_pickle_from_params,
+    )
+
+    src = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=40, dropout=False))
+    variables = src.init(jax.random.key(8), jnp.zeros((1, 128, 128, 1)))
+    path = str(tmp_path / "net40.pkl")
+    with open(path, "wb") as fh:
+        pickle.dump(reference_pickle_from_params(variables), fh, protocol=2)
+
+    with pytest.raises(ValueError, match="multiple-of-3"):
+        model_from_reference_pickle(path, "poseregnet",
+                                    out_is_embedding=False)
+    # the non-override heuristic still reads it as an embedding
+    _, _, needs_prior = model_from_reference_pickle(path, "poseregnet")
+    assert needs_prior

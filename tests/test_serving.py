@@ -285,3 +285,17 @@ def test_build_server_from_reference_pickle(tmp_path):
         assert np.isfinite(joints).all()
     finally:
         srv.close()
+
+
+def test_batcher_pins_resolution_from_camera(setup):
+    """A wrong-resolution FIRST request must fail its own caller only —
+    never lock the server to a stray shape (ADVICE r3): the pin comes
+    from the estimator's camera, not from whoever submits first."""
+    est, variables, depth, com = setup
+    with MicroBatchServer(est, variables, max_batch=8,
+                          max_wait_ms=1.0) as srv:
+        with pytest.raises(ValueError, match="does not match"):
+            srv.submit(np.zeros((64, 64), np.float32), com[0])
+        # a correct-resolution request afterwards is served normally
+        got = srv.submit(depth[0], com[0]).result(timeout=120)
+        assert got.shape[-1] == 3

@@ -242,6 +242,58 @@ def test_checkpoint_shape_recovery(tmp_path):
     )
 
 
+def test_checkpoint_keys_is_lazy(tmp_path, monkeypatch):
+    """checkpoint_keys reads only the top-level map header + key strings
+    (seeking past the parameter blobs) — a full msgpack_restore would
+    double resume I/O and peak host memory (ADVICE r3)."""
+    from deepprior_tpu.train import checkpoint as ckpt_mod
+    from deepprior_tpu.train.checkpoint import checkpoint_keys
+
+    tree = {
+        "params": {"dense": {"kernel": np.ones((64, 32), np.float32),
+                             "bias": np.zeros(32, np.float32)}},
+        "opt_state": [{"mu": np.ones(5, np.float32)}],
+        "step": np.int32(7),
+        "epoch": 3,
+        "best": {"val": 1.5, "params": {"k": np.ones(4, np.float32)}},
+    }
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, tree)
+
+    def boom(*a, **k):
+        raise AssertionError("checkpoint_keys fell back to a full decode")
+
+    monkeypatch.setattr(ckpt_mod.serialization, "msgpack_restore", boom)
+    assert checkpoint_keys(p) == {
+        "params", "opt_state", "step", "epoch", "best"
+    }
+
+
+def test_checkpoint_recovery_prefers_matching_subtree(tmp_path):
+    """With the persisted best tracker, 'params/.../kernel' and
+    'best/params/.../kernel' score identical suffixes; recovery must pick
+    the same-subtree leaf, not the stale best duplicate (ADVICE r3)."""
+    a = np.full((4, 3), 1.0, np.float32)
+    b = np.full((4, 3), 2.0, np.float32)
+    stored = {
+        "params": {"dense": {"kernel": a}},
+        "best": {"params": {"dense": {"kernel": b}}},
+    }
+    p = str(tmp_path / "ck.ckpt")
+    save_checkpoint(p, stored)
+    target = {
+        "params": {"dense": {"kernel": np.zeros((4, 3), np.float32)}},
+        "best": {"params": {"dense": {"kernel": np.zeros((4, 3), np.float32)}}},
+        "new_field": np.zeros(1, np.float32),  # forces the fallback
+    }
+    restored, exact = load_checkpoint(p, target)
+    assert not exact
+    np.testing.assert_array_equal(restored["params"]["dense"]["kernel"], a)
+    np.testing.assert_array_equal(
+        restored["best"]["params"]["dense"]["kernel"], b
+    )
+
+
 def test_evaluate_trims_padding(toy_setup):
     """With n % batch_size != 0, evaluate() must equal a straight
     full-array computation — padded tail duplicates trimmed, batch means
