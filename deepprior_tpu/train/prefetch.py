@@ -103,24 +103,43 @@ class DevicePrefetcher:
         return item
 
 
+def aligned_epoch_indices(rng, n: int, batch_size: int):
+    """One epoch's sample indices with the reference's alignData tail
+    semantics (nettrainer.py:365-413): a fresh permutation of all n
+    samples, the last incomplete minibatch padded to batch_size with
+    seeded-random repeats — `RandomState(n)`, the reference's pad_random
+    seeding quirk (same pad every epoch, "otherwise labels and data mix
+    up") — so EVERY frame trains EVERY epoch and shapes stay static.
+
+    Consumes exactly one rng.permutation(n) (resume fast-forwards stay
+    in sync).  Returns (ceil(n / batch_size) * batch_size,) indices."""
+    import numpy as np
+
+    perm = rng.permutation(n)
+    rem = n % batch_size
+    if rem == 0:
+        return perm
+    pad = np.random.RandomState(n).randint(0, n, size=batch_size - rem)
+    return np.concatenate([perm, pad])
+
+
 def chunked_epochs(
     arrays: dict,
     batch_size: int,
     n_epochs: int,
     seed: int = 23455,
-    drop_last: bool = True,
 ):
     """Host-side batch generator over a dict of co-indexed numpy arrays,
-    reshuffled per epoch (the macro-batch replacement)."""
+    reshuffled per epoch (the macro-batch replacement).  The tail batch
+    is alignData-padded (aligned_epoch_indices), never dropped."""
     import numpy as np
 
     n = next(iter(arrays.values())).shape[0]
     rng = np.random.default_rng(seed)
     for _ in range(n_epochs):
-        perm = rng.permutation(n)
-        end = (n // batch_size) * batch_size if drop_last else n
-        for s in range(0, end, batch_size):
-            idx = perm[s : s + batch_size]
+        idx_all = aligned_epoch_indices(rng, n, batch_size)
+        for s in range(0, idx_all.shape[0], batch_size):
+            idx = idx_all[s : s + batch_size]
             yield {k: v[idx] for k, v in arrays.items()}
 
 
@@ -131,6 +150,7 @@ def macro_chunks(
     chunk_steps: int,
     seed: int = 23455,
     start_epoch: int = 0,
+    segment_steps: int = 0,
 ):
     """Macro-batch generator: (k, batch, ...) stacks of `chunk_steps`
     minibatches per yield — the TPU analog of the reference's macro
@@ -142,21 +162,32 @@ def macro_chunks(
     epoch, and a short epoch tail yields a smaller final chunk (so at
     most two distinct chunk shapes compile).
 
+    segment_steps > 0 additionally keeps chunks from straddling multiples
+    of that step count inside the epoch — fit_streamed's sub-epoch
+    validation boundaries (reference validation_frequency,
+    nettrainer.py:859-889) — at the cost of at most two more compiled
+    chunk shapes.  The BATCH stream is unchanged.
+
     start_epoch > 0 (resume) burns the already-consumed permutations so
     the remaining epochs see the streams an uninterrupted run would."""
     import numpy as np
 
     n = next(iter(arrays.values())).shape[0]
-    steps = n // batch_size
+    steps = -(-n // batch_size)  # tail batch alignData-padded, not dropped
     rng = np.random.default_rng(seed)
     for _ in range(start_epoch):
         rng.permutation(n)
     for _ in range(start_epoch, n_epochs):
-        perm = rng.permutation(n)[: steps * batch_size]
-        for s0 in range(0, steps, chunk_steps):
+        perm = aligned_epoch_indices(rng, n, batch_size)
+        s0 = 0
+        while s0 < steps:
             k = min(chunk_steps, steps - s0)
+            if segment_steps > 0:
+                boundary = ((s0 // segment_steps) + 1) * segment_steps
+                k = min(k, boundary - s0)
             idx = perm[s0 * batch_size : (s0 + k) * batch_size]
             yield {
                 key: v[idx].reshape((k, batch_size) + v.shape[1:])
                 for key, v in arrays.items()
             }
+            s0 += k

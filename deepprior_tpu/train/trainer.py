@@ -39,6 +39,7 @@ from deepprior_tpu.camera import Camera
 from deepprior_tpu.ops.augment import augment_batch
 from deepprior_tpu.prior import PCAPrior
 from deepprior_tpu.train.optimizer import lr_of_ep, make_optimizer
+from deepprior_tpu.train.prefetch import aligned_epoch_indices
 
 
 class TrainConfig(NamedTuple):
@@ -525,9 +526,12 @@ class Trainer:
         )
 
         n = train_data.n
-        steps = n // cfg.batch_size
-        if steps == 0:
+        if n < cfg.batch_size:
             raise ValueError("training set smaller than one batch")
+        # ceil: the n % batch_size tail trains every epoch in a final
+        # batch padded with seeded-random repeats (reference alignData/
+        # pad_random, nettrainer.py:365-413) instead of being dropped
+        steps = -(-n // cfg.batch_size)
 
         # resume (start_epoch > 0): fast-forward both RNG streams through
         # the epochs already trained so the resumed run consumes the SAME
@@ -556,7 +560,7 @@ class Trainer:
             if on_epoch_start is not None:
                 on_epoch_start(epoch, state)
             lr = float(sched(epoch))
-            perm = rng.permutation(n)[: steps * cfg.batch_size]
+            perm = aligned_epoch_indices(rng, n, cfg.batch_size)
             idxs = jnp.asarray(perm.reshape(steps, cfg.batch_size))
             sub_obs = None
             if cfg.validation_frequency and val_dev is not None:
@@ -742,6 +746,10 @@ class Trainer:
         early stopping and snapshot cadence are all preserved (the
         reference's para_load training still ran full validation,
         nettrainer.py:859-889); `history` has the same structure as `fit`'s.
+        cfg.validation_frequency runs the observers every that many
+        minibatches INSIDE the epoch, exactly like `fit`: macro chunks are
+        cut so they never straddle a validation boundary (the minibatch
+        stream — and therefore the loss trace — is unchanged).
 
         arrays: co-indexed dict with keys crops, gt3d_crop, com, cube, m.
         """
@@ -753,20 +761,24 @@ class Trainer:
         sched = lr_of_ep(cfg.learning_rate)
         key = jax.random.key(cfg.seed)
         n = arrays["crops"].shape[0]
-        steps_per_epoch = n // cfg.batch_size
-        if steps_per_epoch == 0:
+        if n < cfg.batch_size:
             raise ValueError("training set smaller than one batch")
+        # ceil: tail batch alignData-padded (see fit), never dropped
+        steps_per_epoch = -(-n // cfg.batch_size)
         chunk_steps = max(1, min(int(chunk_steps), steps_per_epoch))
         val_dev = (
             jax.tree.map(jnp.asarray, val_data) if val_data is not None else None
         )
+        vf = int(cfg.validation_frequency or 0)
+        sub_epoch = vf > 0 and val_dev is not None
         if start_epoch:
             # one split per minibatch, exactly as the chunk scan consumes
             # them (key, skey = split(key); carry = split(key)[0])
             key = _fast_forward_key(key, start_epoch * steps_per_epoch)
         it = DevicePrefetcher(
             macro_chunks(arrays, cfg.batch_size, n_epochs, chunk_steps,
-                         seed=cfg.seed, start_epoch=start_epoch),
+                         seed=cfg.seed, start_epoch=start_epoch,
+                         segment_steps=vf if sub_epoch else 0),
             depth=prefetch_depth,
             # distributed: stage each chunk already sharded over the mesh's
             # data axes (stream_put_chunk) instead of landing on one device
@@ -779,6 +791,7 @@ class Trainer:
         costs: list = []
         done_steps = 0
         lr, lr_epoch = 0.0, -1
+        sub_obs = None
         try:
             for chunk in it:
                 epoch = start_epoch + done_steps // steps_per_epoch
@@ -791,7 +804,27 @@ class Trainer:
                 state, key, losses = chunk_fn(state, chunk, key, lr)
                 costs.append(losses)
                 done_steps += int(chunk["crops"].shape[0])
-                if done_steps % steps_per_epoch != 0:
+                pos = done_steps % steps_per_epoch
+                if sub_epoch and (pos % vf == 0 or pos == 0):
+                    # sub-epoch observers (nettrainer.py:859-889): chunks
+                    # are segment-aligned, so validation lands exactly
+                    # every vf minibatches (+ the epoch boundary), as in
+                    # fit's segmented epoch
+                    sub_obs = self.evaluate(state, val_dev)
+                    self.history["val_error_mm"].append(
+                        sub_obs["error_mm_avg"]
+                    )
+                    if (
+                        cfg.use_early_stopping
+                        and sub_obs["error_mm_avg"] < best[0]
+                    ):
+                        best = (
+                            sub_obs["error_mm_avg"],
+                            jax.device_get(state.params),
+                            jax.device_get(state.batch_stats),
+                            epoch,
+                        )
+                if pos != 0:
                     continue
                 vals = np.concatenate(
                     [np.asarray(jax.device_get(c)) for c in costs]
@@ -807,7 +840,11 @@ class Trainer:
                     f"({(time.time() - t0) / (epoch - start_epoch + 1):.2f}"
                     "s/epoch)"
                 )
-                if val_data is not None and (epoch % cfg.eval_every) == 0:
+                if sub_epoch:
+                    # the epoch-boundary observers already ran above (the
+                    # final segment's observers ARE the boundary ones)
+                    msg += f" val_mm {sub_obs['error_mm_avg']:.3f}"
+                elif val_data is not None and (epoch % cfg.eval_every) == 0:
                     obs = self.evaluate(state, val_dev)
                     self.history["val_error_mm"].append(obs["error_mm_avg"])
                     msg += f" val_mm {obs['error_mm_avg']:.3f}"

@@ -445,10 +445,6 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
     state, start_epoch = _maybe_resume(args, trainer, state, outdir)
     t0 = time.time()
     if streamed:
-        if cfg.validation_frequency:
-            print("note: --validation-frequency applies to the "
-                  "HBM-resident path; the streamed path validates at "
-                  "epoch boundaries", flush=True)
         state, hist = trainer.fit_streamed(
             state, arrays, val_data=val,
             snapshot_path=os.path.join(outdir, "net"),

@@ -15,9 +15,18 @@ from deepprior_tpu.utils.pointcloud import PointCloud
 def test_chunked_epochs_covers_data():
     arrays = {"x": np.arange(20)[:, None], "y": np.arange(20) * 3}
     batches = list(chunked_epochs(arrays, batch_size=8, n_epochs=2, seed=0))
-    assert len(batches) == 4  # 2 per epoch, last 4 dropped
+    # 3 per epoch: the 4-sample tail trains in an alignData-padded batch
+    # (reference nettrainer.py:365-413), never dropped
+    assert len(batches) == 6
     for b in batches:
+        assert b["x"].shape[0] == 8  # static shapes incl. the padded tail
         np.testing.assert_array_equal(b["y"], b["x"][:, 0] * 3)  # co-indexed
+    # every frame appears in every epoch
+    for ep in (batches[:3], batches[3:]):
+        seen = set(np.concatenate([b["x"][:, 0] for b in ep]).tolist())
+        assert seen == set(range(20))
+    # the pad is the reference's seeded-random quirk: identical per epoch
+    np.testing.assert_array_equal(batches[2]["x"][4:], batches[5]["x"][4:])
 
 
 def test_device_prefetcher():
