@@ -528,9 +528,24 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
 
 
 def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
-                   num_joints, crop_joint_idx, eval_cls):
+                   num_joints, crop_joint_idx, eval_cls,
+                   baseline_spec=None, accept_mm=None):
     """CoM refinement training (reference main_nyu_com_refine.py): ScaleNet
-    over docom crops, labels = crop-joint offset from the detected CoM."""
+    over docom crops, labels = crop-joint offset from the detected CoM.
+
+    The full reference epilogue (main_nyu_com_refine.py:198-251, mirrored
+    in the ICVL/MSRA variants): training-curve plots, result persistence,
+    then the three-way HandposeEvaluation — the refined CoM as a 1-joint
+    pose vs gt3Dorig[crop_joint_idx], the shipped-baseline crop joint
+    (Tompson .mat on NYU, LRF .txt on ICVL; MSRA ships none), and the raw
+    detected CoM — plus the success-curve plot with the CoM baseline
+    overlaid (main_msra15_com_refine.py:257) and a results.json record.
+
+    --accept gates on the refined mean error: the threshold is
+    --accept-mm, else `accept_mm`, else the raw-CoM mean (refinement must
+    at least beat the detector it refines)."""
+    import json
+
     from deepprior_tpu.models import ScaleNet, ScaleNetConfig
     from deepprior_tpu.train.trainer import TrainConfig, TrainData
 
@@ -558,20 +573,38 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
             packed_conv=getattr(args, "packed_conv", False),
         )
     )
+    wr = getattr(args, "weightreg", 0.0)
     cfg = TrainConfig(
-        batch_size=min(args.batch_size, 64),  # reference uses 64 (main:166)
+        batch_size=min(args.batch_size, 64),  # reference uses 64 (main:164)
         learning_rate=args.lr, n_epochs=args.epochs,
         aug_modes=tuple(args.aug_modes), seed=args.seed,
+        weightreg_factor=wr, model_has_dropout=wr <= 0.0,
+        # the reference CoM recipe disables early stopping (main:170)
+        use_early_stopping=False,
+        validation_frequency=getattr(args, "validation_frequency", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp, tp=args.tp)
     state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
-    if hasattr(trainer, "place_data"):
+    streamed = getattr(args, "streamed", False)
+    if streamed:
+        arrays = {k: np.asarray(getattr(data, k))
+                  for k in ("crops", "gt3d_crop", "com", "cube", "m")}
+    elif hasattr(trainer, "place_data"):
         data = trainer.place_data(data)
     state, start_epoch = _maybe_resume(args, trainer, state, outdir)
-    state, hist = trainer.fit(
-        state, data, val_data=val, snapshot_path=os.path.join(outdir, "net"),
-        start_epoch=start_epoch,
-    )
+    if streamed:
+        state, hist = trainer.fit_streamed(
+            state, arrays, val_data=val,
+            snapshot_path=os.path.join(outdir, "net"),
+            start_epoch=start_epoch,
+            chunk_steps=getattr(args, "chunk_steps", 8),
+        )
+    else:
+        state, hist = trainer.fit(
+            state, data, val_data=val,
+            snapshot_path=os.path.join(outdir, "net"),
+            start_epoch=start_epoch,
+        )
 
     from deepprior_tpu.train.checkpoint import save_checkpoint
 
@@ -581,14 +614,115 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         config=cfg._asdict(),
     )
 
-    # evaluate CoM error before/after refinement (main_nyu_com_refine:240-250)
+    # training-curve plots (reference main:198-207: semilogy cost + errs)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for series, tag in ((hist["train_cost"], "cost"),
+                        (hist["val_error_mm"], "errs")):
+        if not series:
+            continue
+        fig = plt.figure()
+        plt.semilogy(np.asarray(series))
+        fig.savefig(os.path.join(outdir, f"{prefix}_{tag}.png"))
+        plt.close(fig)
+
+    if not tests:
+        return state
+
+    # TEST (main:215-233): refined CoM = net offset * cube_z/2 + detected
+    # CoM (mm), evaluated as a 1-joint pose against gt3Dorig[crop_joint]
+    metrics = {}
+    all_gt_full, all_refined, all_com3d = [], [], []
     for seq in tests:
         tdata = to_refine_data(seq)
-        pred = trainer.predict(state, np.asarray(tdata.crops))  # (N, 3) offsets
+        pred = trainer.predict(state, np.asarray(tdata.crops))  # (N, 3)
         cube_z = np.asarray(tdata.cube)[:, 2][:, None]
-        offset_mm = pred * (cube_z / 2.0)
-        gt_mm = np.asarray(tdata.gt3d_crop)[:, 0, :]
-        before = np.linalg.norm(gt_mm, axis=1).mean()
-        after = np.linalg.norm(gt_mm - offset_mm, axis=1).mean()
-        print(f"{seq.name}: CoM error raw {before:.3f}mm -> refined {after:.3f}mm")
+        com3d = camera.img_to_3d_np(np.asarray(tdata.com))
+        refined = com3d + pred * (cube_z / 2.0)
+        all_gt_full.append(np.stack([f.gt3Dorig for f in seq.data]))
+        all_refined.append(refined)
+        all_com3d.append(com3d)
+    gt_full = np.concatenate(all_gt_full).astype(np.float32)
+    gt1 = gt_full[:, crop_joint_idx : crop_joint_idx + 1, :]
+    refined = np.concatenate(all_refined)[:, None, :].astype(np.float32)
+    com3d = np.concatenate(all_com3d).astype(np.float32)
+
+    hpe = eval_cls(gt1, refined)
+    hpe.subfolder = outdir
+    print(f"Refined CoM mean error: {hpe.getMeanError():.3f}mm, "
+          f"max error: {hpe.getMaxError():.3f}mm", flush=True)
+    metrics["refined"] = {"mean_mm": hpe.getMeanError(),
+                          "max_mm": hpe.getMaxError(),
+                          "n_test_frames": int(gt1.shape[0])}
+    # result persistence (main:233 pickles the joints; .npy is durable)
+    np.save(os.path.join(outdir, f"result_{prefix}.npy"), refined)
+
+    # BASELINE 1: the shipped predictions' crop joint (main:240-244)
+    baseline = []
+    bl_path = args.baseline_file
+    if bl_path is None and args.data and baseline_spec:
+        cand = os.path.join(args.data, baseline_spec["relpath"])
+        bl_path = cand if os.path.isfile(cand) else None
+    if bl_path and baseline_spec:
+        imp = importer_cls(args.data or os.path.dirname(bl_path) or ".")
+        if baseline_spec["kind"] == "mat":
+            preds = imp.loadBaseline(bl_path, gt=gt_full)
+        else:
+            preds = imp.loadBaseline(bl_path)
+        preds = np.asarray(preds[: gt1.shape[0]], np.float32)
+        preds1 = preds[:, crop_joint_idx : crop_joint_idx + 1, :]
+        hpe_base = eval_cls(gt1[: preds1.shape[0]], preds1)
+        hpe_base.subfolder = outdir
+        print(f"Baseline {baseline_spec['label']} crop-joint mean error: "
+              f"{hpe_base.getMeanError():.3f}mm", flush=True)
+        baseline.append((baseline_spec["label"], hpe_base))
+        metrics["baseline"] = {"label": baseline_spec["label"],
+                               "mean_mm": hpe_base.getMeanError(),
+                               "file": bl_path}
+
+    # BASELINE 2: the raw detected CoM (main:246-250)
+    hpe_com = eval_cls(gt1, com3d[:, None, :])
+    hpe_com.subfolder = outdir
+    print(f"Raw CoM mean error: {hpe_com.getMeanError():.3f}mm", flush=True)
+    metrics["com"] = {"mean_mm": hpe_com.getMeanError(),
+                      "max_mm": hpe_com.getMaxError()}
+    baseline.append(("CoM", hpe_com))
+
+    # success curve + per-joint bars with the baselines overlaid
+    # (main_msra15_com_refine.py:257)
+    hpe.plotEvaluation(prefix, methodName="Refined CoM", baseline=baseline)
+
+    accept_rec = None
+    if getattr(args, "accept", False):
+        thr = args.accept_mm
+        if thr is None:
+            thr = accept_mm
+        if thr is None:
+            thr = hpe_com.getMeanError()  # must at least beat the detector
+        accept_rec = {
+            "mean_mm": float(hpe.getMeanError()),
+            "com_mean_mm": float(hpe_com.getMeanError()),
+            "threshold_mm": float(thr),
+            "n_test_frames": int(gt1.shape[0]),
+            "synthetic": bool(getattr(args, "synthetic", False)),
+        }
+        accept_rec["pass"] = bool(accept_rec["mean_mm"] < thr)
+        status = "PASS" if accept_rec["pass"] else "FAIL"
+        if accept_rec["synthetic"]:
+            status += " (synthetic smoke)"
+        print(f"acceptance [{status}]: refined {accept_rec['mean_mm']:.3f}mm "
+              f"vs threshold {thr:.3f}mm over {gt1.shape[0]} frames",
+              flush=True)
+        metrics["acceptance"] = accept_rec
+
+    with open(os.path.join(outdir, "results.json"), "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    if accept_rec is not None and not accept_rec["pass"]:
+        raise SystemExit(
+            f"acceptance FAILED: {accept_rec['mean_mm']:.3f}mm >= "
+            f"{accept_rec['threshold_mm']:.3f}mm"
+        )
     return state
