@@ -27,7 +27,8 @@ class HandCropper:
     """Per-image host-side crop pipeline (constructor mirrors
     handdetector.py:49-69: per-image depth clamping)."""
 
-    def __init__(self, dpt: np.ndarray, camera: Camera):
+    def __init__(self, dpt: np.ndarray, camera: Camera,
+                 resize_method: str = "nearest"):
         dpt = np.asarray(dpt, np.float32).copy()
         self.max_depth = min(1500.0, float(dpt.max()))
         self.min_depth = max(10.0, float(dpt.min()))
@@ -37,6 +38,13 @@ class HandCropper:
         self.camera = camera
         self.fx = abs(camera.fx)
         self.fy = abs(camera.fy)
+        # the reference ctor's resize-method switch (handdetector.py:57-69):
+        # 'nearest' = RESIZE_CV2_NN (the reference default), 'linear' =
+        # RESIZE_CV2_LINEAR, 'nd_bilinear' = RESIZE_BILINEAR (the
+        # hand-written ND-aware resize, handdetector.py:132-202)
+        if resize_method not in ("nearest", "linear", "nd_bilinear"):
+            raise ValueError(f"unknown resize method {resize_method!r}")
+        self.resize_method = resize_method
 
     # ------------------------------------------------------------------
     def calculate_com(self, dpt: Optional[np.ndarray] = None) -> np.ndarray:
@@ -112,6 +120,80 @@ class HandCropper:
         rows = np.minimum((np.arange(sh) * (h / sh)).astype(np.int64), h - 1)
         return src[np.ix_(rows, cols)]
 
+    @staticmethod
+    def _halfpixel_taps(h, w, sz_wh):
+        """cv2 half-pixel sample grid with edge-clamped taps, f32 in the
+        same op order as the device paths (ops/crop.py, ops/resize.py) so
+        floors/weights agree bit-for-bit.
+
+        Returns (y0, y1, x0, x1 int index vectors; fy (sh, 1), fx (1, sw))."""
+        sw, sh = sz_wh
+        ys = (np.arange(sh, dtype=np.float32) + np.float32(0.5)) * (
+            np.float32(h) / np.float32(sh)
+        ) - np.float32(0.5)
+        xs = (np.arange(sw, dtype=np.float32) + np.float32(0.5)) * (
+            np.float32(w) / np.float32(sw)
+        ) - np.float32(0.5)
+        y0 = np.clip(np.floor(ys), 0, h - 1)
+        x0 = np.clip(np.floor(xs), 0, w - 1)
+        fy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None]
+        fx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :]
+        y0 = y0.astype(np.int64)
+        x0 = x0.astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        return y0, y1, x0, x1, fy, fx
+
+    @classmethod
+    def resize_linear(cls, src: np.ndarray, sz_wh: Tuple[int, int]) -> np.ndarray:
+        """cv2.INTER_LINEAR-equivalent resize (half-pixel mapping,
+        edge-clamped taps) — the reference's RESIZE_CV2_LINEAR
+        (handdetector.py:347-348)."""
+        src = np.asarray(src, np.float32)
+        h, w = src.shape
+        y0, y1, x0, x1, fy, fx = cls._halfpixel_taps(h, w, sz_wh)
+        v00 = src[np.ix_(y0, x0)]
+        v01 = src[np.ix_(y0, x1)]
+        v10 = src[np.ix_(y1, x0)]
+        v11 = src[np.ix_(y1, x1)]
+        return (
+            v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx
+        ).astype(np.float32)
+
+    @classmethod
+    def resize_bilinear_nd(cls, src: np.ndarray, sz_wh: Tuple[int, int],
+                           nd_value: float = 0.0) -> np.ndarray:
+        """The reference's hand-written ND-aware bilinear resize
+        (RESIZE_BILINEAR, handdetector.py:132-202): invalid (== nd_value)
+        taps drop out with weight renormalization; >= 3 invalid taps of 4
+        -> nd_value.  Numpy twin of ops/resize.resize_bilinear_nd (same
+        half-pixel grid, same blend)."""
+        src = np.asarray(src, np.float32)
+        h, w = src.shape
+        y0, y1, x0, x1, fy, fx = cls._halfpixel_taps(h, w, sz_wh)
+        taps = [src[np.ix_(yi, xi)] for yi, xi in
+                ((y0, x0), (y0, x1), (y1, x0), (y1, x1))]
+        weights = [(1 - fy) * (1 - fx), (1 - fy) * fx,
+                   fy * (1 - fx), fy * fx]
+        masks = [t != nd_value for t in taps]
+        wsum = sum(wt * m for wt, m in zip(weights, masks))
+        vsum = sum(wt * np.where(m, t, 0.0)
+                   for wt, m, t in zip(weights, masks, taps))
+        n_invalid = sum((~m).astype(np.int32) for m in masks)
+        return np.where(
+            (n_invalid >= 3) | (wsum <= 0.0), nd_value,
+            vsum / np.maximum(wsum, 1e-12),
+        ).astype(np.float32)
+
+    def resize_crop(self, crop: np.ndarray, sz_wh: Tuple[int, int]) -> np.ndarray:
+        """resizeCrop's method dispatch (handdetector.py:336-352)."""
+        if self.resize_method == "nearest":
+            return self.resize_nearest(crop, sz_wh)
+        if self.resize_method == "linear":
+            return self.resize_linear(crop, sz_wh)
+        return self.resize_bilinear_nd(crop, sz_wh, nd_value=0.0)
+
     # ------------------------------------------------------------------
     def crop_area_3d(
         self,
@@ -151,7 +233,7 @@ class HandCropper:
             sz = (wb * dh // hb, dh)
         scale = sz[1] / float(hb) if hb > wb else sz[0] / float(wb)
 
-        rz = self.resize_nearest(cropped, sz)
+        rz = self.resize_crop(cropped, sz)
 
         ret = np.zeros((dh, dw), np.float32)  # ND background == 0 post-clamp
         ox = int(np.floor(dw / 2.0 - rz.shape[1] / 2.0))
@@ -185,7 +267,7 @@ class HandCropper:
             sz = (dw, hb * dw // wb)
         else:
             sz = (wb * dh // hb, dh)
-        rz = self.resize_nearest(cropped, sz)
+        rz = self.resize_crop(cropped, sz)
         if background is None:
             background = 0.0  # ND value post-clamp
         ret = np.full((dh, dw), background, np.float32)

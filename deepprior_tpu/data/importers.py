@@ -70,12 +70,18 @@ class DepthImporter:
         cache_dir: str = "./cache/",
         refine_net=None,
         hand: Optional[str] = None,
+        resize_method: str = "nearest",
     ):
         self.basepath = basepath
         self.use_cache = use_cache
         self.cache_dir = cache_dir
         self.refine_net = refine_net
         self.hand = hand
+        # the reference HandDetector ctor's resize-method switch
+        # (handdetector.py:57-69): 'nearest' (the reference default) /
+        # 'linear' / 'nd_bilinear'; applied by both the host crop
+        # (detector_np.HandCropper) and the batched device crop
+        self.resize_method = resize_method
 
     # camera passthroughs (the reference exposes these on the importer)
     @property
@@ -104,6 +110,8 @@ class DepthImporter:
     # ------------------------------------------------------------------
     def _cache_path(self, seq_name, docom, cube, extra=""):
         tag = _detection_mode(docom, self.refine_net is not None)
+        if self.resize_method != "nearest":  # crops differ per method
+            tag += f"_{self.resize_method}"
         return os.path.join(
             self.cache_dir,
             f"{type(self).__name__}_{seq_name}{extra}_{self.hand}_{tag}_"
@@ -235,7 +243,8 @@ class DepthImporter:
 
             method = "onehot" if jax.default_backend() == "tpu" else "gather"
             crop, m = crop3d(
-                dptc, com, cube_arr, cam.fx, cam.fy, dsize, method=method
+                dptc, com, cube_arr, cam.fx, cam.fy, dsize, method=method,
+                resize=self.resize_method,
             )
             crop = np.asarray(crop)
             m_np = np.asarray(m)
@@ -275,7 +284,7 @@ class DepthImporter:
         """Shared per-frame pipeline: content check -> crop -> annotate
         (the body of every reference loadSequence loop, e.g.
         importers.py:383-407)."""
-        hc = HandCropper(dpt, self.camera)
+        hc = HandCropper(dpt, self.camera, resize_method=self.resize_method)
         if not hc.check_image(1.0):
             return None
         crop, m, com = hc.crop_area_3d(
@@ -453,8 +462,10 @@ class NYUImporter(DepthImporter):
     sides = {k: "right" for k in default_cubes}
 
     def __init__(self, basepath, use_cache=True, cache_dir="./cache/",
-                 refine_net=None, hand=None, all_joints=False):
-        super().__init__(basepath, use_cache, cache_dir, refine_net, hand)
+                 refine_net=None, hand=None, all_joints=False,
+                 resize_method="nearest"):
+        super().__init__(basepath, use_cache, cache_dir, refine_net, hand,
+                         resize_method=resize_method)
         self.all_joints = all_joints
         self.eval_idxs = (
             np.arange(36) if all_joints else np.asarray(self.restricted_joints)

@@ -398,8 +398,75 @@ def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
     return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
 
 
+def _crop3d_nd_bilinear_batch(dpt, com, cube, fx, fy, dsize):
+    """Batched ND-aware bilinear crop — the reference's RESIZE_BILINEAR
+    method (handdetector.py:57-69, 132-202) fused into the crop.
+
+    Reference order is crop -> z-threshold -> bilinearResize(ND-aware)
+    (handdetector.py:443-465): each of the 4 taps is read from the
+    z-thresholded, zero-padded crop patch; invalid (== ND == 0) taps drop
+    out of the interpolation with weight renormalization; >= 3 invalid
+    taps -> ND.  Sample positions use cv2's half-pixel convention with
+    edge-clamped taps, exactly like ops/resize.resize_bilinear_nd (whose
+    nd_blend this shares) — patch coordinates here are computed in f32 in
+    the same op order as the host oracle (detector_np.resize_bilinear_nd)
+    so the two agree to f32 round-off.
+
+    Gather-based: the renormalizing blend is NOT separable, so there is
+    no one-hot/Pallas MXU formulation of this method (select those paths
+    with resize='nearest'/'linear'; this one exists for reference parity,
+    not as the TPU hot path)."""
+    from deepprior_tpu.ops.resize import nd_blend
+
+    b, h, w = dpt.shape
+    dw, dh = dsize
+    xs, xe, ys, ye, zstart, zend = com_to_bounds(com, cube, fx, fy, (h, w))
+    scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
+    wb = xe - xs
+    hb = ye - ys
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
+    v = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
+    in_embed = (
+        (u >= off_x[:, None, None])
+        & (u < (off_x + sz_w)[:, None, None])
+        & (v >= off_y[:, None, None])
+        & (v < (off_y + sz_h)[:, None, None])
+    )
+    # half-pixel mapping in PATCH coords, taps clamped to the patch
+    # (resize_bilinear_nd:41-51 semantics on the cropped image)
+    xsp = (u - off_x[:, None, None] + 0.5) * (wb / sz_w)[:, None, None] - 0.5
+    ysp = (v - off_y[:, None, None] + 0.5) * (hb / sz_h)[:, None, None] - 0.5
+    x0 = jnp.clip(jnp.floor(xsp), 0.0, (wb - 1)[:, None, None])
+    y0 = jnp.clip(jnp.floor(ysp), 0.0, (hb - 1)[:, None, None])
+    fxw = jnp.clip(xsp - x0, 0.0, 1.0)
+    fyw = jnp.clip(ysp - y0, 0.0, 1.0)
+    x1 = jnp.minimum(x0 + 1.0, (wb - 1)[:, None, None])
+    y1 = jnp.minimum(y0 + 1.0, (hb - 1)[:, None, None])
+
+    def tap(yp, xp):
+        # patch -> image coords; outside the image the patch is 0-padded
+        xi = xp + xs[:, None, None]
+        yi = yp + ys[:, None, None]
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        val = jax.vmap(_gather2d)(
+            dpt, yi.astype(jnp.int32), xi.astype(jnp.int32)
+        )
+        val = jnp.where(inb, val, 0.0)
+        # z-threshold BEFORE the blend (getCrop runs before resizeCrop)
+        zs = zstart[:, None, None]
+        ze = zend[:, None, None]
+        val = jnp.where((val < zs) & (val != 0.0), zs, val)
+        return jnp.where(val > ze, 0.0, val)
+
+    d = nd_blend(tap(y0, x0), tap(y0, x1), tap(y1, x0), tap(y1, x1),
+                 fyw, fxw, nd_value=0.0)
+    # no epilogue z-threshold: it already ran per tap (reference order)
+    return jnp.where(in_embed, d, 0.0)
+
+
 def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
-           method="gather"):
+           method="gather", resize=None):
     """Batched fused cube crop: raw depth maps -> (B, dh, dw) mm patches.
 
     Equivalent of `HandDetector.cropArea3D` (handdetector.py:382-490) minus
@@ -413,11 +480,30 @@ def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
     method: 'gather' (reference-exact dynamic gather) or 'onehot'
             (MXU-friendly selection matmuls — same indexing, no gather;
             the fast path on TPU)
+    resize: the reference ctor's resize-method switch (handdetector.py:
+            57-69): 'nearest' (RESIZE_CV2_NN, the reference default —
+            bit-exact here), 'linear' (RESIZE_CV2_LINEAR; this fused
+            two-tap resampler omits cv2's half-pixel offset — documented
+            deviation), or 'nd_bilinear' (RESIZE_BILINEAR, the ND-aware
+            hand-written resize — reference-ordered threshold-then-blend,
+            gather-based on every `method`).  None keeps the legacy
+            use_bilinear flag (False -> nearest, True -> linear).
     Returns (crop_mm (B, dh, dw), M (B, 3, 3)).
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
     cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
+    if resize is not None:
+        if resize not in ("nearest", "linear", "nd_bilinear"):
+            raise ValueError(
+                f"unknown resize method {resize!r} (want 'nearest', "
+                f"'linear' or 'nd_bilinear')"
+            )
+        use_bilinear = resize == "linear"
+    if resize == "nd_bilinear":
+        crop = _crop3d_nd_bilinear_batch(dpt, com, cube, fx, fy, dsize)
+        m = crop_transform(com, cube, fx, fy, dpt.shape[-2:], dsize)
+        return crop, m
     if method == "onehot" and use_bilinear:
         crop = _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize)
     elif method == "onehot":
@@ -451,14 +537,16 @@ def normalize_crop(crop_mm, com_z, cube_z, norm_zero_one=False):
 
 def normalized_crop(
     dpt, com, cube, fx, fy, dsize=(128, 128), norm_zero_one=False,
-    use_bilinear=False, method="gather"
+    use_bilinear=False, method="gather", resize=None
 ):
     """Fused crop + normalize: the full inference-time preprocessing.
 
     One XLA program: bounds -> warp-gather -> z-threshold -> normalize.
+    `resize` selects the reference's resize method (see crop3d).
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
-    crop, m = crop3d(dpt, com, cube, fx, fy, dsize, use_bilinear, method)
+    crop, m = crop3d(dpt, com, cube, fx, fy, dsize, use_bilinear, method,
+                     resize=resize)
     cube_b = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), jnp.asarray(com).shape)
     return normalize_crop(crop, jnp.asarray(com)[..., 2], cube_b[..., 2], norm_zero_one), m
 

@@ -55,6 +55,17 @@ def resize_bilinear_nd(img, out_hw, nd_value=0.0):
 
     v00, v01 = tap(y0, x0), tap(y0, x1)
     v10, v11 = tap(y1, x0), tap(y1, x1)
+    return nd_blend(v00, v01, v10, v11, fy, fx, nd_value)
+
+
+def nd_blend(v00, v01, v10, v11, fy, fx, nd_value=0.0):
+    """The ND-aware 4-tap blend (handdetector.py:168-198): weights of
+    invalid (== nd_value) taps renormalize over the valid ones; >= 3
+    invalid taps -> nd_value.  fy/fx broadcast against the taps.
+
+    Shared by `resize_bilinear_nd` and the fused nd_bilinear crop path
+    (ops/crop.py), which applies the same blend to z-thresholded taps in
+    crop-patch space."""
     w00 = (1 - fy) * (1 - fx)
     w01 = (1 - fy) * fx
     w10 = fy * (1 - fx)

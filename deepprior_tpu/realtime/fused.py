@@ -46,6 +46,7 @@ class FusedEstimator:
         detect: bool = False,
         crop_method: str = "auto",
         min_depth_mm: Optional[float] = None,
+        resize: Optional[str] = None,
     ):
         self.model = model
         self.camera = camera
@@ -55,6 +56,18 @@ class FusedEstimator:
         self.dsize = dsize
         self.refine_iters = refine_iters
         self.detect = detect
+        # the reference ctor's resize-method switch (handdetector.py:57-69)
+        # for nets trained on non-default resampling: None/'nearest' keeps
+        # the default; 'linear'/'nd_bilinear' force the XLA crop (the
+        # Pallas kernel implements nearest + its own two-tap bilinear;
+        # the ND-aware blend is not separable — see ops/crop.py)
+        if resize not in (None, "nearest", "linear", "nd_bilinear"):
+            raise ValueError(f"unknown resize method {resize!r}")
+        self.resize = resize
+        if resize in ("linear", "nd_bilinear") and crop_method in (
+            "auto", "pallas"
+        ):
+            crop_method = "onehot"
         # 'onehot' expresses the crop as MXU matmuls — ~100x faster than
         # XLA's gather lowering on TPU for batched frames; 'pallas' is the
         # banded-window kernel (bit-identical, ~1.3x faster again on TPU —
@@ -140,7 +153,7 @@ class FusedEstimator:
             else:
                 crops, _ = normalized_crop(
                     depth, com, cube, cam.fx, cam.fy, self.dsize,
-                    method=self.crop_method,
+                    method=self.crop_method, resize=self.resize,
                 )
         net_in = jnp.where(mirror[:, None, None], crops[:, :, ::-1], crops)
         out = self.model.apply(variables, net_in[..., None], train=False)

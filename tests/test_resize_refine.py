@@ -107,3 +107,135 @@ def test_stage_timer():
         pass
     assert t.ms("x") >= 0.0
     assert "x=" in t.report()
+
+
+# ----------------------------------------------------------------------
+# the resize-method switch (reference handdetector.py:57-69, VERDICT r3
+# missing #4): 'nearest' / 'linear' / 'nd_bilinear' selectable through
+# HandCropper, crop3d/normalized_crop, the importers and the estimator
+# ----------------------------------------------------------------------
+def _clamped_frame(seed=3):
+    rng = np.random.default_rng(seed)
+    f = make_frame(NYU_CAMERA, rng)
+    return f.extraData["dpt_full"].astype(np.float32), f.com
+
+
+def test_host_nd_resize_matches_device_resize_op():
+    """detector_np.HandCropper.resize_bilinear_nd is the numpy twin of
+    ops/resize.resize_bilinear_nd (same half-pixel grid, same blend)."""
+    from deepprior_tpu.data.detector_np import HandCropper
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(400.0, 900.0, (37, 53)).astype(np.float32)
+    img[rng.random((37, 53)) < 0.3] = 0.0  # ND holes
+    host = HandCropper.resize_bilinear_nd(img, (24, 18))
+    dev = np.asarray(resize_bilinear_nd(img, (18, 24)))
+    np.testing.assert_allclose(host, dev, rtol=1e-6, atol=1e-4)
+
+
+def test_crop3d_nd_bilinear_matches_host_oracle():
+    """crop3d(resize='nd_bilinear') agrees with the host oracle running
+    the reference order (crop -> z-threshold -> ND-aware resize)."""
+    from deepprior_tpu.data.detector_np import HandCropper
+    from deepprior_tpu.ops.crop import crop3d
+
+    cam = NYU_CAMERA
+    dpts, coms = zip(*[_clamped_frame(s) for s in range(4)])
+    dpt = np.stack(dpts)
+    com = np.stack(coms).astype(np.float32)
+    cube = np.float32([250.0, 250.0, 250.0])
+
+    dptc, _, _ = clamp_depth(dpt)
+    got, m = crop3d(np.asarray(dptc), com, cube, cam.fx, cam.fy,
+                    dsize=(128, 128), resize="nd_bilinear")
+    got = np.asarray(got)
+    for i in range(dpt.shape[0]):
+        hc = HandCropper(dpt[i], cam, resize_method="nd_bilinear")
+        want, m_host, _ = hc.crop_area_3d(com=com[i], size=tuple(cube),
+                                          dsize=(128, 128))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(m)[i], m_host, rtol=1e-5)
+
+
+def test_nd_bilinear_ignores_background_edges():
+    """At hand/background boundaries plain linear blends depth with 0
+    (phantom mid-air depths); the ND-aware method must not."""
+    from deepprior_tpu.data.detector_np import HandCropper
+
+    img = np.zeros((16, 16), np.float32)
+    img[4:12, 4:12] = 600.0
+    # non-integer scale so sample positions straddle the boundary taps
+    lin = HandCropper.resize_linear(img, (6, 6))
+    nd = HandCropper.resize_bilinear_nd(img, (6, 6))
+    assert ((lin > 0) & (lin < 600.0)).any()  # linear smears the edge
+    assert set(np.unique(nd).tolist()) <= {0.0, 600.0}  # nd does not
+
+
+def test_crop3d_resize_nearest_is_legacy_path():
+    """resize='nearest' is bit-identical to the legacy default."""
+    from deepprior_tpu.ops.crop import crop3d
+
+    cam = NYU_CAMERA
+    dpt, com = _clamped_frame(7)
+    dptc, _, _ = clamp_depth(dpt[None])
+    a, _ = crop3d(np.asarray(dptc), com[None], (250.0, 250.0, 250.0),
+                  cam.fx, cam.fy)
+    b, _ = crop3d(np.asarray(dptc), com[None], (250.0, 250.0, 250.0),
+                  cam.fx, cam.fy, resize="nearest")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="unknown resize"):
+        crop3d(np.asarray(dptc), com[None], (250.0, 250.0, 250.0),
+               cam.fx, cam.fy, resize="cubic")
+
+
+def test_importer_resize_method_plumbs_to_crops(tmp_path):
+    """ICVLImporter(resize_method=...) changes the produced crops and the
+    cache key (host and batched-device paths share the switch)."""
+    from deepprior_tpu.camera import ICVL_CAMERA
+    from deepprior_tpu.data.detector_np import HandCropper
+    from deepprior_tpu.data.importers import ICVLImporter
+
+    rng = np.random.default_rng(5)
+    f = make_frame(ICVL_CAMERA, rng, num_joints=16)
+    imp_nn = ICVLImporter(str(tmp_path), use_cache=False)
+    imp_nd = ICVLImporter(str(tmp_path), use_cache=False,
+                          resize_method="nd_bilinear")
+    assert imp_nn._cache_path("s", False, (250,)) != \
+        imp_nd._cache_path("s", False, (250,))
+    args = (f.extraData["dpt_full"], f.gtorig, f.gt3Dorig,
+            (250.0, 250.0, 250.0), False, (128, 128), "f", "", "right")
+    fr_nn = imp_nn._crop_frame(*args)
+    fr_nd = imp_nd._crop_frame(*args)
+    assert not np.array_equal(fr_nn.dpt, fr_nd.dpt)
+    hc = HandCropper(f.extraData["dpt_full"], ICVL_CAMERA,
+                     resize_method="nd_bilinear")
+    want, _, _ = hc.crop_area_3d(com=f.gtorig[0],
+                                 size=(250.0, 250.0, 250.0),
+                                 dsize=(128, 128))
+    np.testing.assert_allclose(fr_nd.dpt, want, atol=1e-3)
+
+
+def test_fused_estimator_resize_nd_bilinear():
+    """FusedEstimator(resize='nd_bilinear') downgrades the Pallas/onehot
+    crop plan to a runnable method and produces finite joints."""
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.prior import PCAPrior
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    cam = NYU_CAMERA
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    rng = np.random.default_rng(1)
+    prior = PCAPrior(
+        components=rng.standard_normal((30, 42)).astype(np.float32) * 0.05,
+        mean=np.zeros(42, np.float32),
+    )
+    est = FusedEstimator(model, cam, prior=prior, resize="nd_bilinear")
+    assert est.crop_method != "pallas"
+    dpt, com = _clamped_frame(11)
+    joints, _, crops = est(variables, jnp.asarray(dpt[None]),
+                           jnp.asarray(com[None]))
+    assert np.isfinite(np.asarray(joints)).all()
+    assert np.isfinite(np.asarray(crops)).all()
+    with pytest.raises(ValueError, match="unknown resize"):
+        FusedEstimator(model, cam, prior=prior, resize="cubic")
