@@ -282,6 +282,36 @@ def main():
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
 
     fps = batch * iters / dt
+
+    # MFU normalization: XLA's own cost analysis counts the model/XLA
+    # flops of the compiled pipeline; the Pallas crop is an opaque custom
+    # call to it, so its selection matmuls are added analytically
+    # (utils/flops.py mirrors the kernel's dot shapes).  Omitted silently
+    # if the backend exposes no cost analysis.
+    extra = {}
+    try:
+        from deepprior_tpu.ops.pallas_crop import window_dims
+        from deepprior_tpu.utils.flops import (
+            crop_selection_flops, mfu_pct, peak_tflops, xla_flops,
+        )
+
+        xf = xla_flops(est._fn, variables, depth_d, com_d)
+        if xf is not None:
+            if est.crop_method == "pallas":
+                hk = depth_d.shape[1] + (-depth_d.shape[1]) % 8
+                wk = depth_d.shape[2] + (-depth_d.shape[2]) % 128
+                xf += crop_selection_flops(
+                    batch, *window_dims(hk, wk, est.win_rows)
+                )
+            extra["flops_per_frame"] = round(xf / batch)
+            peak = peak_tflops()
+            m = mfu_pct(xf * iters, dt, peak)
+            if m is not None:
+                extra["mfu_pct"] = round(m, 2)
+                extra["peak_tflops"] = peak
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -289,6 +319,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 2),
+                **extra,
             }
         )
     )

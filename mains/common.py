@@ -119,11 +119,19 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 parameters/optimizer state; "
                         "the MXU's native dtype — ~matmul throughput x2). "
-                        "Losses/metrics stay f32.")
-    p.add_argument("--packed-conv", action="store_true",
-                   help="MXU lane-packed conv+pool layers (same parameters/"
-                        "arithmetic, ~10x conv throughput on TPU; "
-                        "models/layers._PackedConvPool)")
+                        "Step-time neutral on the flagship configs (the "
+                        "step is augment/elementwise/optimizer-bound) but "
+                        "halves activation memory. Losses/metrics stay f32.")
+    p.add_argument("--packed-conv", dest="packed_conv", action="store_true",
+                   default=True,
+                   help="MXU lane-packed conv+pool layers (same parameter "
+                        "tree and arithmetic, equality-tested; ~10x conv "
+                        "throughput / -14%% flagship step time on TPU; "
+                        "models/layers._PackedConvPool). Default ON.")
+    p.add_argument("--no-packed-conv", dest="packed_conv",
+                   action="store_false",
+                   help="disable the lane-packed conv formulation (use the "
+                        "plain lax.conv path)")
     p.add_argument("--model", default="poseregnet",
                    choices=["poseregnet", "resnet"],
                    help="regressor family (reference: PoseRegNet in the "

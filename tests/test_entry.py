@@ -78,8 +78,11 @@ def test_bench_contract(tmp_path):
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # driver contract: the four required keys; extras (flops_per_frame /
+    # mfu_pct MFU accounting) are allowed
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["unit"] == "fps" and rec["value"] > 0
+    assert rec.get("flops_per_frame", 1) > 0
 
 
 def test_bench_batch1_mode(tmp_path):
@@ -99,6 +102,19 @@ def test_bench_batch1_mode(tmp_path):
     rec = json.loads(lines[0])
     assert rec["metric"] == "batch1_serving_ms"
     assert rec["value"] >= 0 and rec["dispatch_inclusive_ms"] >= 0
+
+
+def test_packed_conv_default_on():
+    """The lane-packed conv formulation (parameter-tree-identical,
+    equality-tested, -14% step time) is the mains' DEFAULT since round 4;
+    --no-packed-conv opts out."""
+    sys.path.insert(0, REPO)
+    from mains.common import base_parser
+
+    p = base_parser("t")
+    assert p.parse_args(["--synthetic"]).packed_conv is True
+    assert p.parse_args(["--synthetic", "--no-packed-conv"]).packed_conv \
+        is False
 
 
 def test_main_bf16_packed(tmp_path):
