@@ -42,7 +42,8 @@ WIN_H = 384  # NYU 480x640: window start sublane-aligned (multiple of 8)
 WIN_W = 512  # window start lane-aligned (multiple of 128) -> extra slack
 
 
-def window_dims(h: int, w: int, win_rows: int | None = None):
+def window_dims(h: int, w: int, win_rows: int | None = None,
+                win_cols: int | None = None):
     """Per-frame-size banded-window dims (rows, cols).
 
     640x480 (NYU) uses the (384, 512) window.  320x240 frames (ICVL /
@@ -62,6 +63,9 @@ def window_dims(h: int, w: int, win_rows: int | None = None):
     if win_rows is not None:
         wr = max(8, -(-int(win_rows) // 8) * 8)
         wh = min(wh, wr)
+    if win_cols is not None:
+        wc = max(128, -(-int(win_cols) // 128) * 128)
+        ww = min(w, wc)
     return wh, ww
 
 
@@ -75,41 +79,25 @@ def band_rows_for(fy: float, cube_z: float, z_min: float) -> int:
     return -(-int(rows) // 8) * 8
 
 
-def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
-                 clamp=False, band_block=False, win=(WIN_H, WIN_W),
-                 bilinear=False):
-    """params_ref: (B, 15|17) scalar-prefetch rows [xstart, ystart, wb, hb,
-    off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h, fits, wy, wx
-    (, min_d, max_d when clamp)].
+def _sample_crop(read, src, *, dsize, norm_zero_one, clamp, bilinear,
+                 shift):
+    """One sample's selection matmuls + epilogue -> (dh, dw) crop.
 
-    band_block=True means dpt_ref is already the per-sample window (the
-    pipeline DMA'd only the (WIN_H, WIN_W) band at elementwise offsets
-    (wy, wx)) — every sample must fit; the caller cond-dispatches.
+    read(j) returns the sample's scalar-prefetch parameter j (layout in
+    _crop_kernel's docstring); src is the (sh, sw) source window; shift
+    subtracts the window origin (wy, wx) from the source coordinates
+    (True when src is a banded window rather than the full frame).
 
-    A row-loop gather variant (dh dynamic sublane copies replacing the
-    HIGHEST row matmul) measured 3.5x SLOWER on TPU (11.4 vs 3.3 ms per
-    1024 frames) — Mosaic's per-iteration dynamic sublane slicing costs
-    far more than the MXU passes it saves; it was removed."""
-    i = pl.program_id(0)
+    Shared by the per-sample pipelined kernel (_crop_kernel) and the
+    K-blocked manual-DMA kernel (_blocked_crop_kernel).
+    """
     dw, dh = dsize
-    h, w = dpt_ref.shape
-    win_h, win_w = win
-
-    xstart = params_ref[i, 0]
-    ystart = params_ref[i, 1]
-    wb = params_ref[i, 2]
-    hb = params_ref[i, 3]
-    off_x = params_ref[i, 4]
-    off_y = params_ref[i, 5]
-    zstart = params_ref[i, 6]
-    zend = params_ref[i, 7]
-    com_z = params_ref[i, 8]
-    cube_half = params_ref[i, 9]
-    sz_w = params_ref[i, 10]
-    sz_h = params_ref[i, 11]
-    fits = params_ref[i, 12] > 0.0
-    wy = params_ref[i, 13]
-    wx = params_ref[i, 14]
+    xstart, ystart = read(0), read(1)
+    wb, hb = read(2), read(3)
+    off_x, off_y = read(4), read(5)
+    zstart, zend = read(6), read(7)
+    com_z, cube_half = read(8), read(9)
+    sz_w, sz_h = read(10), read(11)
 
     # output pixel grids (2D iota: TPU requires >=2D, integer dtype only)
     u = jax.lax.broadcasted_iota(jnp.int32, (dh, dw), 1).astype(jnp.float32)
@@ -128,14 +116,12 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
     else:
         p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)
         q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)
-
-    if clamp:
-        min_d = params_ref[i, 15]
-        max_d = params_ref[i, 16]
+    if shift:
+        p = p - read(14)  # wx
+        q = q - read(13)  # wy
 
     def select(src, p_rel, q_rel):
-        """Selection matmuls R @ src @ C^T; out-of-range -> zero row ==
-        zero pad.
+        """Selection matmuls; out-of-range -> zero row == zero pad.
 
         Nearest: R/C are one-hot.  Bilinear: each row carries the two-tap
         weights (1-frac, frac) at (floor, floor+1) — bilinear resampling
@@ -153,13 +139,15 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
         through HBM beforehand (bit-identical: cleaning is elementwise,
         selection is one-hot)."""
         if clamp:
+            min_d, max_d = read(15), read(16)
             keep = (src >= min_d) & (src <= max_d)
             src = jnp.where(keep, src, 0.0)
         sh, sw = src.shape
         hh = jax.lax.broadcasted_iota(jnp.int32, (dh, sh), 1).astype(jnp.float32)
         ww = jax.lax.broadcasted_iota(jnp.int32, (dw, sw), 1).astype(jnp.float32)
         if bilinear:
-            # weighted two-tap selectors are not bf16-exact: keep HIGHEST
+            # weighted two-tap selectors are not bf16-exact: keep HIGHEST;
+            # rows-then-cols order matches the XLA twin bit-for-bit
             q0 = jnp.floor(q_rel)
             fq = q_rel - q0
             rowsel = (hh == q0) * (1.0 - fq) + (hh == q0 + 1.0) * fq
@@ -179,13 +167,24 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
             )  # (dh, dw)
         # nearest: one-hot selectors are bf16-exact, so three 1-pass bf16
         # matmuls with the value side split (ops/exact_mxu.py) give the
-        # bit-exact f32 selection ~2.4x faster than HIGHEST
+        # bit-exact f32 selection ~2.4x faster than HIGHEST.  Contraction
+        # ORDER picks the cheaper second matmul: selecting columns first
+        # makes the second contraction (dh, sh) @ (sh, dw) — sh (the band
+        # height, 304/160) is smaller than sw (512/320+), saving ~12% of
+        # the selection MACs vs rows-first.  Bit-exactness is order-
+        # independent for one-hot selection (each output element is
+        # exactly one src element either way).
         from deepprior_tpu.ops.exact_mxu import (
             dot_general_vals_onehot, dot_onehot_vals,
         )
 
-        rowsel = (hh == q_rel).astype(jnp.bfloat16)  # (dh, src_h)
-        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.bfloat16)
+        rowsel = (hh == q_rel).astype(jnp.bfloat16)  # (dh, sh)
+        colsel = (ww == p_rel.reshape(dw, 1)).astype(jnp.bfloat16)  # (dw, sw)
+        if sh <= sw:
+            cols = dot_general_vals_onehot(
+                src, colsel, (((1,), (1,)), ((), ()))
+            )  # (sh, dw)
+            return dot_onehot_vals(rowsel, cols)  # (dh, dw)
         rows = dot_onehot_vals(rowsel, src)
         return dot_general_vals_onehot(
             rows, colsel, (((1,), (1,)), ((), ()))
@@ -207,10 +206,41 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
             return (d - (com_z - cube_half)) / (2.0 * cube_half)
         return (d - com_z) / cube_half
 
+    return epilogue(select(src, p, q))
+
+
+def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
+                 clamp=False, band_block=False, win=(WIN_H, WIN_W),
+                 bilinear=False):
+    """params_ref: (B, 15|17) scalar-prefetch rows [xstart, ystart, wb, hb,
+    off_x, off_y, zstart, zend, com_z, cube_z/2, sz_w, sz_h, fits, wy, wx
+    (, min_d, max_d when clamp)].
+
+    band_block=True means dpt_ref is already the per-sample window (the
+    pipeline DMA'd only the (WIN_H, WIN_W) band at elementwise offsets
+    (wy, wx)) — every sample must fit; the caller cond-dispatches.
+
+    A row-loop gather variant (dh dynamic sublane copies replacing the
+    HIGHEST row matmul) measured 3.5x SLOWER on TPU (11.4 vs 3.3 ms per
+    1024 frames) — Mosaic's per-iteration dynamic sublane slicing costs
+    far more than the MXU passes it saves; it was removed."""
+    i = pl.program_id(0)
+    h, w = dpt_ref.shape
+    win_h, win_w = win
+
+    def read(j):
+        return params_ref[i, j]
+
+    fits = params_ref[i, 12] > 0.0
+    body = functools.partial(
+        _sample_crop, read, dsize=dsize, norm_zero_one=norm_zero_one,
+        clamp=clamp, bilinear=bilinear,
+    )
+
     if band_block:
         # dpt_ref IS the per-sample (win_h, win_w) window — the pipeline
         # DMA'd only the band (pl.Element offsets from scalar prefetch)
-        out_ref[:, :] = epilogue(select(dpt_ref[:, :], p - wx, q - wy))
+        out_ref[:, :] = body(dpt_ref[:, :], shift=True)
     elif h > win_h or w > win_w:
 
         @pl.when(fits)
@@ -226,21 +256,97 @@ def _crop_kernel(params_ref, dpt_ref, out_ref, *, dsize, norm_zero_one,
                 src = dpt_ref[pl.ds(wy_i, win_h), :]
             else:
                 src = dpt_ref[:, :]
-            out_ref[:, :] = epilogue(select(src, p - wx, q - wy))
+            out_ref[:, :] = body(src, shift=True)
 
         @pl.when(jnp.logical_not(fits))
         def _full():
-            out_ref[:, :] = epilogue(select(dpt_ref[:, :], p, q))
+            out_ref[:, :] = body(dpt_ref[:, :], shift=False)
 
     else:
-        out_ref[:, :] = epilogue(select(dpt_ref[:, :], p, q))
+        out_ref[:, :] = body(dpt_ref[:, :], shift=False)
+
+
+def _blocked_crop_kernel(params_ref, dpt_hbm, out_ref, *, dsize,
+                         norm_zero_one, clamp, win, bilinear, k_block,
+                         b_total):
+    """K samples per grid step with a MANUAL double-buffered band pipeline.
+
+    The round-3 decomposition (docs/ROADMAP.md) showed the per-sample
+    kernel's cost is flat ~µs/sample step orchestration, not DMA bytes or
+    MXU flops.  This variant keeps the full frame batch in HBM
+    (memory_space=HBM — no automatic per-step block) and drives the band
+    copies itself: two VMEM slots, two DMA semaphores, sample k+1's band
+    DMA issued before sample k computes.  The grid shrinks k_block-fold,
+    amortizing any per-step fixed cost; the compute per sample is
+    IDENTICAL to _crop_kernel's banded branch (same _sample_crop body),
+    so results stay bit-exact.
+
+    Every sample must fit its band window — the caller dispatches on the
+    all-fits flag exactly like the automatic banded path.  The batch is
+    padded up to a k_block multiple by clamping the sample index to the
+    last row (duplicate work, trimmed by the caller).
+    """
+    g = pl.program_id(0)
+    win_h, win_w = win
+    _, hk, wk = dpt_hbm.shape
+    row_slice = win_h < hk
+    col_slice = win_w < wk
+
+    def body(scratch, sems):
+        def b_of(k):
+            return jnp.minimum(g * k_block + k, b_total - 1)
+
+        def get_dma(slot, k):
+            b = b_of(k)
+            src = dpt_hbm.at[b]
+            if row_slice:
+                wy = pl.multiple_of(params_ref[b, 13].astype(jnp.int32), 8)
+                if col_slice:
+                    wx = pl.multiple_of(
+                        params_ref[b, 14].astype(jnp.int32), 128
+                    )
+                    src = src.at[pl.ds(wy, win_h), pl.ds(wx, win_w)]
+                else:
+                    src = src.at[pl.ds(wy, win_h), :]
+            elif col_slice:
+                wx = pl.multiple_of(params_ref[b, 14].astype(jnp.int32), 128)
+                src = src.at[:, pl.ds(wx, win_w)]
+            return pltpu.make_async_copy(
+                src, scratch.at[slot], sems.at[slot]
+            )
+
+        get_dma(0, 0).start()
+        for k in range(k_block):  # static unroll
+            slot = k % 2
+            if k + 1 < k_block:
+                get_dma((k + 1) % 2, k + 1).start()
+            get_dma(slot, k).wait()
+            b = b_of(k)
+
+            def read(j, b=b):
+                return params_ref[b, j]
+
+            out_ref[k] = _sample_crop(
+                read, scratch[slot], dsize=dsize,
+                norm_zero_one=norm_zero_one, clamp=clamp,
+                bilinear=bilinear, shift=row_slice or col_slice,
+            )
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM(
+            (2, win_h if row_slice else hk, win_w if col_slice else wk),
+            jnp.float32,
+        ),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "fx", "fy", "dsize", "norm_zero_one", "fuse_clamp", "use_bilinear",
-        "win_rows",
+        "win_rows", "win_cols", "block_k",
     ),
 )
 def pallas_normalized_crop(
@@ -254,6 +360,8 @@ def pallas_normalized_crop(
     fuse_clamp: bool = False,
     use_bilinear: bool = False,
     win_rows: int | None = None,
+    win_cols: int | None = None,
+    block_k: int | None = None,
 ):
     """Drop-in fast path for ops.crop.normalized_crop (same outputs).
 
@@ -267,6 +375,15 @@ def pallas_normalized_crop(
     win_rows (static) narrows the banded row window to a dataset-geometry
     bound (band_rows_for) — pure speed knob; samples outside the envelope
     take the full-frame fallback.
+    win_cols (static) overrides the column window (default 512 for wide
+    frames); win_cols >= frame width disables column banding, making the
+    band DMA CONTIGUOUS in HBM (one descriptor instead of win_h strided
+    rows) at the cost of wider selection matmuls — see docs/ROADMAP.md
+    round-4 findings for the measured tradeoff.
+    block_k (static) processes K samples per grid step with a manual
+    double-buffered band pipeline (_blocked_crop_kernel) instead of one
+    automatically-pipelined sample per step — bit-identical outputs,
+    pure speed knob; None keeps the per-sample pipeline.
     Returns (crop_norm (B, dh, dw), M (B, 3, 3)).
     """
     from deepprior_tpu.ops.crop import crop_transform
@@ -287,7 +404,7 @@ def pallas_normalized_crop(
     if pad_h or pad_w:
         dpt = jnp.pad(dpt, ((0, 0), (0, pad_h), (0, pad_w)))
     hk, wk = h + pad_h, w + pad_w
-    win_h, win_w = window_dims(hk, wk, win_rows)
+    win_h, win_w = window_dims(hk, wk, win_rows, win_cols)
 
     xs, xe, ys, ye, zs, ze = com_to_bounds(com, cube, fx, fy, (h, w))
     scale, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, dsize)
@@ -385,12 +502,42 @@ def pallas_normalized_crop(
             grid_spec=grid_spec,
         )(params, dpt)
 
+    def call_blocked():
+        """K-samples-per-step manual pipeline (see _blocked_crop_kernel);
+        batch padded to a k multiple by index clamping, trimmed here."""
+        k = max(1, min(block_k, b))
+        bp = -(-b // k) * k
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // k,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=pl.BlockSpec((k, dh, dw), lambda g, prm: (g, 0, 0)),
+        )
+
+        def kernel(params_ref, dpt_ref, out_ref):
+            _blocked_crop_kernel(
+                params_ref, dpt_ref, out_ref,
+                dsize=dsize, norm_zero_one=norm_zero_one,
+                clamp=fuse_clamp, win=(win_h, win_w),
+                bilinear=use_bilinear, k_block=k, b_total=b,
+            )
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bp, dh, dw), jnp.float32),
+            grid_spec=grid_spec,
+        )(params, dpt)
+        return out[:b] if bp != b else out
+
+    fast = call_blocked if block_k else (lambda: call_kernel(True))
     if hk > win_h or wk > win_w:
         crop = jax.lax.cond(
             jnp.all(fits > 0.0),
-            lambda: call_kernel(True),
+            fast,
             lambda: call_kernel(False),
         )
+    elif block_k:
+        crop = call_blocked()
     else:
         crop = call_kernel(False)
 

@@ -18,6 +18,10 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+# subprocess / multi-process / convergence tests: full runs are the
+# round gate; the fast dev loop deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 REPO = os.path.join(os.path.dirname(__file__), "..")
 sys.path.insert(0, os.path.join(REPO, "mains"))
 

@@ -97,6 +97,7 @@ def test_pointcloud_subsample(tmp_path):
     assert len(pc.points) == 0
 
 
+@pytest.mark.slow
 def test_fit_streamed():
     """Streamed training (host arrays -> prefetcher -> per-batch jit step)
     learns like the device-resident path."""

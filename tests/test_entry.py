@@ -23,6 +23,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, REPO)
     import __graft_entry__ as ge
@@ -30,6 +31,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd():
     sys.path.insert(0, REPO)
     import __graft_entry__ as ge
@@ -37,6 +39,7 @@ def test_dryrun_multichip_odd():
     ge.dryrun_multichip(1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "script",
     [
@@ -64,6 +67,7 @@ def test_mains_synthetic_smoke(script, tmp_path):
     assert "epoch 1" in out.stdout
 
 
+@pytest.mark.slow
 def test_bench_contract(tmp_path):
     """bench.py prints exactly one JSON line with the required keys."""
     import json
@@ -85,6 +89,7 @@ def test_bench_contract(tmp_path):
     assert rec.get("flops_per_frame", 1) > 0
 
 
+@pytest.mark.slow
 def test_bench_batch1_mode(tmp_path):
     """BENCH_MODE=batch1 prints the serving-latency JSON (pure-device +
     dispatch-inclusive ms) and exits cleanly."""
@@ -117,6 +122,7 @@ def test_packed_conv_default_on():
         is False
 
 
+@pytest.mark.slow
 def test_main_bf16_packed(tmp_path):
     """--bf16 --packed-conv trains and evaluates (compute-dtype and the
     lane-packed conv path through the full main)."""

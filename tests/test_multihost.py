@@ -16,6 +16,10 @@ import sys
 import numpy as np
 import pytest
 
+# subprocess / multi-process / convergence tests: full runs are the
+# round gate; the fast dev loop deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys
 

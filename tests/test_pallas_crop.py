@@ -190,3 +190,39 @@ def test_pallas_crop_win_rows(scene):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(tight), np.asarray(ref))
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pallas_crop_win_cols_and_blocked(scene):
+    """win_cols (contiguous full-width band / full-frame block) and
+    block_k (K-samples-per-step manual-DMA pipeline) are pure speed knobs:
+    bit-exact vs the onehot XLA path, including odd batch sizes that force
+    the blocked kernel's pad-and-trim."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_crop import (
+        pallas_normalized_crop,
+        window_dims,
+    )
+
+    cam, dpt, com = scene
+    cube = (250.0, 250.0, 250.0)
+    ref, _ = normalized_crop(dpt, com, cube, cam.fx, cam.fy, method="onehot")
+
+    # win_cols >= width disables column banding (contiguous band DMA)
+    assert window_dims(480, 640, 304, 640) == (304, 640)
+    # win_cols still honors the lane alignment when narrowing
+    assert window_dims(480, 640, None, 300) == (384, 384)
+
+    with pltpu.force_tpu_interpret_mode():
+        for kw in (
+            dict(win_rows=304, win_cols=640),           # contiguous band
+            dict(win_rows=480, win_cols=640),           # full-frame block
+            dict(win_rows=304, block_k=2),              # strided + blocked
+            dict(win_rows=304, win_cols=640, block_k=2),  # contig + blocked
+            dict(win_rows=480, win_cols=640, block_k=2),  # fullfrm + blocked
+            dict(win_rows=304, win_cols=640, block_k=3),  # pad-and-trim (4%3)
+        ):
+            got, _ = pallas_normalized_crop(
+                dpt, com, cube, cam.fx, cam.fy, **kw
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -328,6 +328,7 @@ class TestCaptureShim:
         finally:
             dev.stop()
 
+    @pytest.mark.slow
     def test_demo_realtime_smoke(self, tmp_path):
         """mains/demo_realtime.py end-to-end on both device paths — the
         entry point regressed twice (platform pinning bypassed; capture

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# subprocess / multi-process / convergence tests: full runs are the
+# round gate; the fast dev loop deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
+
 from deepprior_tpu.camera import NYU_CAMERA
 from deepprior_tpu.data.synthetic import make_sequence
 from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
