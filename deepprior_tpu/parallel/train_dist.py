@@ -76,7 +76,29 @@ class DistributedTrainer(Trainer):
         tp-sharded run that wrote the snapshot, so the resumed run would
         drift numerically.  Re-place every restored leaf with exactly the
         shardings init_state uses (params Megatron-sharded, BN stats
-        replicated, optimizer moments inheriting the param shardings)."""
+        replicated, optimizer moments inheriting the param shardings).
+
+        Sharded (orbax) snapshots need almost none of this: the restore
+        target is the live mesh-placed state, so every mesh-sharded leaf
+        lands directly on its device placement (checkpoint_sharded.py).
+        Only the optimizer's bookkeeping scalars (e.g. ADAM's count) need
+        touching: tx.init creates them UNcommitted on one device — fine as
+        jit inputs — but the restore commits that single-device placement,
+        which then clashes with the mesh-placed params; replicate them."""
+        from deepprior_tpu.train.checkpoint_sharded import (
+            is_sharded_checkpoint,
+        )
+
+        if is_sharded_checkpoint(path):
+            state, next_epoch = super().load_train_state(path, state)
+            rep = replicated(self.mesh)
+            opt_state = jax.tree.map(
+                lambda x: x
+                if isinstance(getattr(x, "sharding", None), NamedSharding)
+                else jax.device_put(x, rep),
+                state.opt_state,
+            )
+            return state.replace(opt_state=opt_state), next_epoch
         state, next_epoch = super().load_train_state(path, state)
         shardings = param_shardings(state.params, self.mesh)
         params = jax.device_put(jax.device_get(state.params), shardings)

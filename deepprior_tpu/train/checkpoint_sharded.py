@@ -1,0 +1,193 @@
+"""Sharded / asynchronous checkpointing (orbax-tensorstore backend).
+
+The msgpack checkpoint (train/checkpoint.py — the reference-parity path,
+netbase.py:405-477 semantics) gathers the full pytree to the host and
+writes one blob.  That is right for single-host work and mirrors the
+reference's pickle; at pod scale the gather is the failure mode: every
+host funnels every parameter through host memory and one process
+serializes alone.  This backend keeps arrays SHARDED end to end:
+
+- save: each process writes only its addressable shards (tensorstore /
+  OCDBT); no global gather, no host-0 bottleneck.  `async_save=True`
+  returns while the write drains in the background (training continues;
+  call `wait_until_finished` or save again — saves serialize).
+- restore: shards land directly on the target mesh placement (the
+  caller's shardings), never materializing an unsharded global array —
+  which also removes DistTrainer's re-place dance on resume.
+
+Same config-fingerprint contract as checkpoint.py: the fingerprint JSON
+is stored next to the tree and diffed on mismatch (load refuses unless
+`allow_mismatch`, printing the unified diff the reference prints,
+netbase.py:432-446).  Structure recovery is intentionally NOT offered
+here — sharded checkpoints target production resume where the config is
+fingerprint-identical; for surgery across architecture changes use the
+msgpack path's shape recovery.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+import os
+from typing import Any, Optional
+
+import jax
+
+from deepprior_tpu.train.checkpoint import _fingerprint
+
+_FP_NAME = "fingerprint.json"
+_TREE_NAME = "tree"
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def is_sharded_checkpoint(path: str) -> bool:
+    """True when path is a directory written by save_checkpoint_sharded."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, _FP_NAME)
+    )
+
+
+class ShardedCheckpointer:
+    """Thin lifecycle wrapper: one orbax (Async)Checkpointer reused across
+    snapshots, so async saves overlap training and serialize with each
+    other.  Use as a context manager or call close()."""
+
+    def __init__(self, async_save: bool = False):
+        ocp = _ocp()
+        handler = ocp.StandardCheckpointHandler()
+        self._ckptr = (
+            ocp.AsyncCheckpointer(handler)
+            if async_save
+            else ocp.Checkpointer(handler)
+        )
+        self.async_save = async_save
+
+    # -- lifecycle ----------------------------------------------------
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self):
+        self.wait_until_finished()
+        self._ckptr.close()
+
+    def wait_until_finished(self):
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
+
+    # -- save / restore -------------------------------------------------
+    def save(self, path: str, tree: Any, config: Any = None) -> None:
+        """Write the pytree (sharded arrays stay sharded) + fingerprint.
+
+        Arrays must be jax.Arrays (or host values); do NOT device_get
+        sharded arrays first — each process writes its own shards.
+        Atomic: orbax writes to a temp dir and renames on commit."""
+        path = os.path.abspath(path)
+        ocp = _ocp()
+        tree_dir = os.path.join(path, _TREE_NAME)
+        # drain any in-flight async save FIRST: its commit step creates
+        # tree_dir, so checking existence before draining races
+        self.wait_until_finished()
+        if os.path.exists(tree_dir):
+            # orbax refuses to overwrite a committed checkpoint; snapshot
+            # cadence rewrites the same path, so clear it
+            import shutil
+
+            shutil.rmtree(tree_dir)
+        os.makedirs(path, exist_ok=True)
+        self._ckptr.save(tree_dir, args=ocp.args.StandardSave(tree))
+        fp_path = os.path.join(path, _FP_NAME)
+        if jax.process_index() == 0:
+            tmp = fp_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(_fingerprint(config))
+            os.replace(tmp, fp_path)
+
+    def metadata_keys(self, path: str) -> set:
+        """Top-level key names of the stored tree (cheap: metadata only —
+        the structure probe for optional subtrees like the trainer's
+        best tracker, same contract as checkpoint.checkpoint_keys)."""
+        path = os.path.abspath(path)
+        meta = self._ckptr.metadata(os.path.join(path, _TREE_NAME))
+        tree = getattr(meta, "item_metadata", meta)
+        if hasattr(tree, "tree"):  # StandardCheckpointHandler metadata
+            tree = tree.tree
+        return set(tree.keys())
+
+    def restore(
+        self,
+        path: str,
+        target: Any,
+        config: Any = None,
+        allow_mismatch: bool = False,
+    ):
+        """Restore onto `target`'s structure and placements.
+
+        target: a pytree of concrete arrays OR jax.ShapeDtypeStruct with
+        `.sharding` set — restored leaves land with exactly those
+        shardings (no host round-trip, no re-placement needed).
+        Returns (tree, fingerprint_matched)."""
+        path = os.path.abspath(path)
+        ocp = _ocp()
+        matched = True
+        if config is not None:
+            with open(os.path.join(path, _FP_NAME)) as f:
+                stored = f.read()
+            now = _fingerprint(config)
+            if stored != now:
+                matched = False
+                diff = "\n".join(
+                    difflib.unified_diff(
+                        stored.splitlines(),
+                        now.splitlines(),
+                        "checkpoint config",
+                        "current config",
+                        lineterm="",
+                    )
+                )
+                if not allow_mismatch:
+                    raise ValueError(
+                        f"config fingerprint mismatch for {path}:\n{diff}"
+                    )
+                print(f"WARNING: resuming across config change:\n{diff}")
+
+        def as_abstract(leaf):
+            if isinstance(leaf, jax.ShapeDtypeStruct):
+                return leaf
+            if isinstance(leaf, jax.Array):
+                return jax.ShapeDtypeStruct(
+                    leaf.shape, leaf.dtype, sharding=leaf.sharding
+                )
+            return leaf  # python scalars restore as saved
+
+        abstract = jax.tree.map(as_abstract, target)
+        tree = self._ckptr.restore(
+            os.path.join(path, _TREE_NAME),
+            args=_ocp().args.StandardRestore(abstract),
+        )
+        return tree, matched
+
+
+def save_checkpoint_sharded(
+    path: str, tree: Any, config: Any = None
+) -> None:
+    """One-shot synchronous sharded save (see ShardedCheckpointer)."""
+    with ShardedCheckpointer(async_save=False) as ck:
+        ck.save(path, tree, config=config)
+
+
+def load_checkpoint_sharded(
+    path: str, target: Any, config: Any = None, allow_mismatch: bool = False
+):
+    """One-shot sharded restore (see ShardedCheckpointer.restore)."""
+    with ShardedCheckpointer(async_save=False) as ck:
+        return ck.restore(
+            path, target, config=config, allow_mismatch=allow_mismatch
+        )

@@ -182,6 +182,13 @@ class Trainer:
         # optional hook: sharding constraint applied to every gathered batch
         # tensor (set by parallel.DistributedTrainer to shard over 'dp')
         self.shard_batch: Optional[Callable] = None
+        # snapshot format: False -> single msgpack blob (reference-parity
+        # path, train/checkpoint.py); True -> sharded orbax/tensorstore
+        # directory written asynchronously — each process writes only its
+        # local shards, training continues while the write drains
+        # (train/checkpoint_sharded.py).  Loads auto-detect either format.
+        self.sharded_snapshots = False
+        self._sharded_ckptr = None
         self._epoch_fn = None
         self._eval_fn = None
         self._predict_fn = None
@@ -417,6 +424,25 @@ class Trainer:
         when the pre-interruption global best would otherwise be lost
         (the reference keeps best weights in RAM only, nettrainer.py:
         884-902, and cannot resume at all)."""
+        if self.sharded_snapshots:
+            tree = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": int(state.step),
+                "epoch": epoch,
+            }
+            if best is not None and best[1] is not None:
+                tree["best"] = {
+                    "val": float(best[0]),
+                    "params": best[1],
+                    "batch_stats": best[2],
+                    "epoch": int(best[3]),
+                }
+            self._snapshot_ckptr().save(
+                path, tree, config=self.cfg._asdict()
+            )
+            return
         from deepprior_tpu.train.checkpoint import save_checkpoint
 
         tree = {
@@ -435,12 +461,81 @@ class Trainer:
             }
         save_checkpoint(path, tree, config=self.cfg._asdict())
 
+    def _snapshot_ckptr(self):
+        """Lazy shared async sharded checkpointer (saves overlap training
+        and serialize with each other); drained at fit exit and atexit."""
+        if self._sharded_ckptr is None:
+            import atexit
+
+            from deepprior_tpu.train.checkpoint_sharded import (
+                ShardedCheckpointer,
+            )
+
+            self._sharded_ckptr = ShardedCheckpointer(async_save=True)
+            atexit.register(self._sharded_ckptr.wait_until_finished)
+        return self._sharded_ckptr
+
+    def _drain_snapshots(self):
+        """Block until any in-flight async sharded snapshot is committed —
+        called at fit/fit_streamed exit so the rolling snapshot is durable
+        before the caller writes final artifacts or exits."""
+        if self._sharded_ckptr is not None:
+            self._sharded_ckptr.wait_until_finished()
+
+    def _load_train_state_sharded(self, path: str, state: TrainState):
+        """Sharded-directory counterpart of load_train_state: leaves are
+        restored directly onto the live state's placements (mesh shardings
+        included — no host round-trip, no re-placement pass needed)."""
+        ck = self._snapshot_ckptr()
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": 0,
+            "epoch": 0,
+        }
+        if "best" in ck.metadata_keys(path):
+            target["best"] = {
+                "val": 0.0,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "epoch": 0,
+            }
+        # allow_mismatch matches load_checkpoint's non-strict default:
+        # config drift warns with the unified diff and proceeds
+        # (netbase.py:440-450 semantics)
+        tree, _ = ck.restore(
+            path, target, config=self.cfg._asdict(), allow_mismatch=True
+        )
+        if "best" in tree:
+            b = tree["best"]
+            self._resumed_best = (
+                float(b["val"]), b["params"], b["batch_stats"],
+                int(b["epoch"]),
+            )
+        else:
+            self._resumed_best = None
+        new_state = TrainState(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        return new_state, int(tree["epoch"]) + 1
+
     def load_train_state(self, path: str, state: TrainState):
         """Restore a resumable snapshot into an initialized state.
 
         Returns (state, next_epoch).  If the snapshot carries the
         early-stopping best tracker it is stashed on the trainer; the next
-        fit()/fit_streamed() resume consumes it."""
+        fit()/fit_streamed() resume consumes it.  Dispatches on the stored
+        format: msgpack file (default) or sharded orbax directory."""
+        from deepprior_tpu.train.checkpoint_sharded import (
+            is_sharded_checkpoint,
+        )
+
+        if is_sharded_checkpoint(path):
+            return self._load_train_state_sharded(path, state)
         from deepprior_tpu.train.checkpoint import (
             checkpoint_keys,
             load_checkpoint,
@@ -636,6 +731,7 @@ class Trainer:
                 params=jax.tree.map(jnp.asarray, best[1]),
                 batch_stats=jax.tree.map(jnp.asarray, best[2]),
             )
+        self._drain_snapshots()
         return state, self.history
 
     # ------------------------------------------------------------------
@@ -871,4 +967,5 @@ class Trainer:
                 params=jax.tree.map(jnp.asarray, best[1]),
                 batch_stats=jax.tree.map(jnp.asarray, best[2]),
             )
+        self._drain_snapshots()
         return state, self.history

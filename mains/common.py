@@ -169,6 +169,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "HBM-resident path)")
     p.add_argument("--chunk-steps", type=int, default=8,
                    help="minibatches staged per streamed dispatch")
+    p.add_argument("--sharded-snapshots", action="store_true",
+                   help="write rolling snapshots as sharded orbax/"
+                        "tensorstore directories (async: training "
+                        "continues while the write drains; each process "
+                        "writes only its local shards — the multi-host "
+                        "format). --resume auto-detects either format")
     return p
 
 
@@ -241,8 +247,12 @@ def _maybe_resume(args, trainer, state, outdir):
     """Restore the rolling snapshot written by fit() when --resume.
 
     Returns (state, start_epoch)."""
+    from deepprior_tpu.train.checkpoint_sharded import is_sharded_checkpoint
+
     snap = os.path.join(outdir, "net_last.ckpt")
-    if getattr(args, "resume", False) and os.path.isfile(snap):
+    if getattr(args, "resume", False) and (
+        os.path.isfile(snap) or is_sharded_checkpoint(snap)
+    ):
         state, start_epoch = trainer.load_train_state(snap, state)
         print(f"resuming from {snap} at epoch {start_epoch}", flush=True)
         return state, start_epoch
@@ -442,6 +452,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         validation_frequency=getattr(args, "validation_frequency", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp, tp=args.tp)
+    trainer.sharded_snapshots = getattr(args, "sharded_snapshots", False)
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
     streamed = getattr(args, "streamed", False)
     if streamed:
@@ -592,6 +603,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         validation_frequency=getattr(args, "validation_frequency", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp, tp=args.tp)
+    trainer.sharded_snapshots = getattr(args, "sharded_snapshots", False)
     state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
     streamed = getattr(args, "streamed", False)
     if streamed:

@@ -34,6 +34,7 @@ def test_sample_params_distribution():
     assert abs(sc.mean() - 1.0) < 0.01
 
 
+@pytest.mark.slow
 def test_none_mode_is_identity(batch):
     cam, crops_norm, gt3d, com, cube, m = batch
     out, labels, new_com, new_cube, new_m = augment_batch(

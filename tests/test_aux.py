@@ -56,6 +56,7 @@ def test_device_prefetcher_propagates_worker_errors():
     assert isinstance(ei.value.__cause__, MemoryError)
 
 
+@pytest.mark.slow
 def test_epoch_hooks_and_debug_activations():
     cam = NYU_CAMERA
     seq = make_sequence(cam, 32, num_joints=14, seed=7)

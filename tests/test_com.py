@@ -114,6 +114,7 @@ def test_label_components():
     assert lab[0, 20] == 20
 
 
+@pytest.mark.slow
 def test_device_detect_matches_oracle_multiobject(scene):
     """Full device detector == host oracle on multi-object scenes: the
     min-area gate must reject near noise specks that fool detect_closest

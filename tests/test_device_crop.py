@@ -68,6 +68,7 @@ def test_device_crop_docom(icvl_tree):
         assert np.isfinite(f.com).all()
 
 
+@pytest.mark.slow
 def test_load_refine_net_lazy(icvl_tree, tmp_path):
     """Checkpoint-path refine-net loading (the reference's loadRefineNetLazy
     surface, importers.py:175-184) + comref device import."""

@@ -89,6 +89,7 @@ def test_scalenet_explicit_inputs():
 
 
 @pytest.mark.parametrize("rtype", [0, 1, 4])
+@pytest.mark.slow
 def test_resnet_types(rtype):
     cfg = ResNetConfig.from_reference_type(rtype, num_joints=14)
     model = ResNet(cfg)
@@ -214,6 +215,7 @@ def test_learned_param_activation():
     assert "c0" not in pv["params"]["MLPHead_0"]
 
 
+@pytest.mark.slow
 def test_packed_convpool_equivalence():
     """packed=True is the same layer: identical parameter tree, outputs
     equal to the plain conv->pool path up to f.p. summation order

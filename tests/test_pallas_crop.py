@@ -192,6 +192,7 @@ def test_pallas_crop_win_rows(scene):
     np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref))
 
 
+@pytest.mark.slow
 def test_pallas_crop_win_cols_and_blocked(scene):
     """win_cols (contiguous full-width band / full-frame block) and
     block_k (K-samples-per-step manual-DMA pipeline) are pure speed knobs:

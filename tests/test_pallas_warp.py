@@ -15,6 +15,7 @@ def _rand_patches(b=3, h=128, w=128, seed=0):
     return rng.uniform(400.0, 900.0, (b, h, w)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_pallas_warp_matches_gather_rotation():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -67,6 +68,7 @@ def test_pallas_warp_border_and_nv():
     np.testing.assert_array_equal(out, 0.0)  # nv masking
 
 
+@pytest.mark.slow
 def test_augment_pallas_flag_matches_gather():
     """augment_batch(use_pallas=True) in interpret mode == gather path."""
     from jax.experimental.pallas import tpu as pltpu

@@ -4,6 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# multi-device mesh / convergence tests: full runs are the round
+# gate; the fast dev loop deselects with -m 'not slow'
+pytestmark = pytest.mark.slow
 from jax.sharding import PartitionSpec as P
 
 from deepprior_tpu.camera import NYU_CAMERA

@@ -3,6 +3,8 @@
 import gzip
 import pickle
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -20,6 +22,7 @@ from deepprior_tpu.utils.refweights import (
 )
 
 
+@pytest.mark.slow
 def test_poseregnet_roundtrip(tmp_path):
     """flax -> reference pickle layout -> flax preserves every weight and
     the network function (incl. the conv flip and NCHW/NHWC flatten
@@ -200,6 +203,7 @@ def test_bn_invstd_reference_formula():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet_import_roundtrip():
     """ResNet-47-family pickle mapping: emission-order walk (BN/NL/Conv
     blocks + projection shortcut), BN inv_std -> var conversion, head

@@ -120,6 +120,7 @@ def _clamped_frame(seed=3):
     return f.extraData["dpt_full"].astype(np.float32), f.com
 
 
+@pytest.mark.slow
 def test_host_nd_resize_matches_device_resize_op():
     """detector_np.HandCropper.resize_bilinear_nd is the numpy twin of
     ops/resize.resize_bilinear_nd (same half-pixel grid, same blend)."""

@@ -70,6 +70,7 @@ def test_train_data_from_sequence(toy_setup):
     assert data.crops.min() >= -1.0 - 1e-5 and data.crops.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_end_to_end_training_reduces_loss(toy_setup):
     cam, data, prior = toy_setup
     model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
@@ -153,6 +154,7 @@ def test_predict_pads_tail(toy_setup):
     assert out.shape == (19, 30)
 
 
+@pytest.mark.slow
 def test_macro_chunking_invariant(toy_setup):
     """fit_streamed's loss trace must not depend on chunk_steps — the
     macro-chunk scan consumes RNG per minibatch exactly like the
@@ -179,6 +181,7 @@ def test_macro_chunking_invariant(toy_setup):
     np.testing.assert_allclose(traces[0], traces[1], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_trains_tail_batch(toy_setup):
     """The n % batch_size tail trains every epoch via alignData padding
     (reference nettrainer.py:365-413) — 40 frames / batch 16 = 3 steps
@@ -207,6 +210,7 @@ def test_fit_trains_tail_batch(toy_setup):
         trainer.fit(state, tiny, log=lambda m: None)
 
 
+@pytest.mark.slow
 def test_streamed_sub_epoch_validation(toy_setup):
     """cfg.validation_frequency works under fit_streamed (VERDICT r3 weak
     #1: it used to print a note and silently validate at epoch boundaries
@@ -394,6 +398,7 @@ def test_evaluate_trims_padding(toy_setup):
     assert obs["error_mm_max"] == pytest.approx(dist.max(), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_early_stopping_restores_batch_stats(toy_setup):
     """Early stopping must restore the BEST epoch's batch_stats together
     with its params: for BatchNorm models the validated network is the
@@ -438,6 +443,7 @@ def test_early_stopping_restores_batch_stats(toy_setup):
         np.testing.assert_array_equal(a, b, err_msg=str(pa))
 
 
+@pytest.mark.slow
 def test_fit_streamed_first_class(toy_setup, tmp_path):
     """fit_streamed must carry the same observer surface as fit:
     validation history, early stopping, snapshots (reference para_load
