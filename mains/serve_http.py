@@ -39,11 +39,41 @@ def build_server(args):
     from deepprior_tpu.camera import NYU_CAMERA
     from deepprior_tpu.realtime.fused import FusedEstimator
 
+    if getattr(args, "artifact", None):
+        # frozen serving artifact (realtime/export.py): weights + geometry
+        # baked into one program; no model class or camera table loads.
+        # Config is fixed, so per-request cube/mirror are rejected (the
+        # batcher's sharded-style calling convention) and the compiled
+        # batch IS the micro-batch.
+        from deepprior_tpu.realtime.export import ArtifactEstimator
+        from deepprior_tpu.realtime.batcher import MicroBatchServer
+
+        est = ArtifactEstimator(args.artifact)
+        return MicroBatchServer(
+            est, variables=None, max_batch=est.batch,
+            max_wait_ms=args.max_wait_ms, frame_shape=est.hw,
+        )
     model, variables, prior = common.load_serving_net(
         args.model, ref_pickle=getattr(args, "ref_pickle", None),
         checkpoint=args.checkpoint,
     )
     est = FusedEstimator(model, NYU_CAMERA, prior=prior)
+    if getattr(args, "export_artifact", None):
+        from deepprior_tpu.realtime import export as xp
+
+        hw = (NYU_CAMERA.height, NYU_CAMERA.width)
+        if args.artifact_kind == "compiled":
+            meta = xp.precompile_serving(
+                est, variables, args.max_batch, hw, args.export_artifact
+            )
+        else:
+            meta = xp.export_serving(
+                est, variables, args.max_batch, hw, args.export_artifact
+            )
+        print(f"exported {meta['kind']} artifact "
+              f"(batch {meta['batch']}, hw {meta['hw']}) -> "
+              f"{args.export_artifact}", flush=True)
+        return None
     return _wrap_server(args, est, variables)
 
 
@@ -160,9 +190,23 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1,
                    help="shard each batch over a dp-way device mesh "
                         "(parallel/serve.py::ShardedEstimator)")
+    p.add_argument("--artifact", default=None,
+                   help="serve from a frozen artifact (realtime/export.py:"
+                        " weights + geometry baked into one program; no "
+                        "model/checkpoint flags needed, fixed config)")
+    p.add_argument("--export-artifact", default=None,
+                   help="write a frozen serving artifact for the current "
+                        "model/checkpoint at batch --max-batch, then exit")
+    p.add_argument("--artifact-kind", default="stablehlo",
+                   choices=["stablehlo", "compiled"],
+                   help="stablehlo: portable across hosts/backends "
+                        "(cpu+tpu); compiled: same-topology restart with "
+                        "zero compile")
     args = p.parse_args(argv)
 
     server = build_server(args)
+    if server is None:  # --export-artifact wrote the artifact and exits
+        return
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(max_batch {args.max_batch}, max_wait {args.max_wait_ms}ms)",

@@ -299,3 +299,62 @@ def test_batcher_pins_resolution_from_camera(setup):
         # a correct-resolution request afterwards is served normally
         got = srv.submit(depth[0], com[0]).result(timeout=120)
         assert got.shape[-1] == 3
+
+
+@pytest.mark.parametrize("kind", ["stablehlo", "compiled"])
+def test_artifact_roundtrip_matches_pipeline(setup, tmp_path, kind):
+    """Frozen serving artifacts (realtime/export.py): both kinds reproduce
+    the live fused pipeline bit-exactly, and the ArtifactEstimator rides
+    the micro-batcher's holds-its-own-weights convention."""
+    import jax.numpy as jnp
+
+    from deepprior_tpu.realtime import export as xp
+    from deepprior_tpu.realtime.export import ArtifactEstimator
+
+    est, variables, depth, com = setup
+    b = 8
+    hw = depth.shape[1:]
+    path = str(tmp_path / f"serve_{kind}.dpx")
+    if kind == "compiled":
+        meta = xp.precompile_serving(est, variables, b, hw, path)
+    else:
+        meta = xp.export_serving(
+            est, variables, b, hw, path, platforms=("cpu",)
+        )
+    assert meta["batch"] == b and tuple(meta["hw"]) == tuple(hw)
+
+    ref, _, _ = est(
+        variables, jnp.asarray(depth[:b]), jnp.asarray(com[:b])
+    )
+    art = ArtifactEstimator(path)
+    got, _, _ = art(depth[:b], com[:b])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # through the micro-batcher (frozen config: batch == compiled shape)
+    with MicroBatchServer(
+        art, variables=None, max_batch=art.batch, max_wait_ms=1.0,
+        frame_shape=art.hw,
+    ) as srv:
+        futs = [srv.submit(depth[i], com[i]) for i in range(b)]
+        for i, f in enumerate(futs):
+            np.testing.assert_array_equal(
+                f.result(timeout=60), np.asarray(ref)[i]
+            )
+        # frozen config rejects per-request cube loudly
+        with pytest.raises(ValueError, match="fixed-config"):
+            srv.submit(depth[0], com[0], cube=np.array([300.0] * 3))
+
+
+def test_artifact_kind_mismatch_rejected(setup, tmp_path):
+    """Loaders refuse the wrong artifact kind with a clear message."""
+    from deepprior_tpu.realtime import export as xp
+
+    est, variables, depth, com = setup
+    path = str(tmp_path / "serve.dpx")
+    xp.export_serving(
+        est, variables, 4, depth.shape[1:], path, platforms=("cpu",)
+    )
+    with pytest.raises(ValueError, match="stablehlo artifact"):
+        xp.load_precompiled(path)
+    fn, meta = xp.load_artifact(path)  # auto-dispatch still loads it
+    assert meta["kind"] == "stablehlo"
