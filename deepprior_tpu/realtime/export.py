@@ -8,17 +8,21 @@ program (realtime/fused.py), so it can be frozen into a single immutable
 artifact and served with zero framework Python:
 
 - `export_serving` captures the pipeline via `jax.export` as serialized
-  StableHLO with the trained weights baked in as constants, lowered for
-  BOTH cpu and tpu by default (package anywhere, serve on either).  The
-  loaded callable needs no model class, camera table, or prior — all
-  geometry and weights live inside the program.
+  StableHLO with the trained weights baked in as constants — for the
+  current backend by default, or multiple platforms on request (the
+  Pallas crop limits that; see the function docstring).  The loaded
+  callable needs no model class, camera table, or prior — all geometry
+  and weights live inside the program.
 - `precompile_serving` goes one step further for same-topology restarts:
   it serializes the COMPILED executable (jax.experimental
-  .serialize_executable), so a restarted server skips compilation
-  entirely — on this sandbox's remote-compile tunnel that is the
-  difference between a 10-60 s and a sub-second first frame.  Compiled
-  artifacts are device/topology-pinned; the StableHLO artifact is the
-  portable one.
+  .serialize_executable), so a restarted server skips tracing and
+  compilation entirely.  Compiled artifacts are device/topology-pinned;
+  the StableHLO artifact is the portable one.  Measured on the real TPU
+  (prof_artifact_tpu.py): both kinds bit-exact, deserialize 0.7 s — but
+  through THIS sandbox's axon tunnel the first execution of a
+  deserialized executable pays a ~3 min remote load, so the restart win
+  is only realizable on directly-attached devices (environment, not
+  framework: the tunnel re-stages the executable server-side).
 
 Artifact layout: MAGIC | meta-length (8 LE) | meta JSON | payload.
 """
@@ -61,14 +65,23 @@ def export_serving(
     batch: int,
     hw: Tuple[int, int],
     path: str,
-    platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    platforms: Tuple[str, ...] | None = None,
 ) -> Dict[str, Any]:
     """Freeze `est._pipeline` (fixed constructor config, weights baked in)
     for a static (batch, H, W) into a portable StableHLO artifact.
 
     est: a realtime.fused.FusedEstimator; variables: its trained weights.
+    platforms defaults to the current backend.  Cross-platform export
+    (e.g. ("cpu", "tpu")) works ONLY when the estimator avoids the Pallas
+    crop (crop_method='onehot') — a Mosaic kernel has no cpu lowering, so
+    multi-platform lowering of a pallas pipeline raises.  A TPU-only
+    export of the Pallas pipeline serializes fine (measured bit-exact on
+    device, prof_artifact_tpu.py).
     Returns the artifact meta (also stored in the file)."""
     from jax import export as jexport
+
+    if platforms is None:
+        platforms = (jax.default_backend(),)
 
     variables = jax.device_get(variables)  # bake host copies as constants
 
@@ -174,7 +187,6 @@ def load_precompiled(path: str):
             f"{jax.default_backend()!r} — re-export or use the stablehlo "
             "artifact"
         )
-    b, (h, w) = meta["batch"], meta["hw"]
     in_tree = jax.tree.structure(
         ((jnp.zeros(()), jnp.zeros(())), {})
     )  # ((depth, com), {}) calling convention

@@ -199,9 +199,9 @@ def main(argv=None):
                         "model/checkpoint at batch --max-batch, then exit")
     p.add_argument("--artifact-kind", default="stablehlo",
                    choices=["stablehlo", "compiled"],
-                   help="stablehlo: portable across hosts/backends "
-                        "(cpu+tpu); compiled: same-topology restart with "
-                        "zero compile")
+                   help="stablehlo: portable serialized program (current "
+                        "backend by default); compiled: same-topology "
+                        "restart with zero retrace/compile")
     args = p.parse_args(argv)
 
     server = build_server(args)
