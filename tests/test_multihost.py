@@ -127,3 +127,100 @@ def test_two_process_mesh(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "MULTIHOST_OK" in out, out
+
+
+_CKPT_WORKER = r"""
+import os, sys
+
+port, pid, ckdir = sys.argv[1], int(sys.argv[2]), sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, sys.argv[3])
+from deepprior_tpu.parallel import multihost
+
+multihost.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+mesh = multihost.global_mesh(tp=2)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from deepprior_tpu.train.checkpoint_sharded import ShardedCheckpointer
+
+# a dp-sharded "batch stat" and a tp-sharded "weight": every process
+# holds only its addressable shards of the global arrays
+sh_w = NamedSharding(mesh, P(None, "tp"))
+sh_x = NamedSharding(mesh, P("dp", None))
+w_global = np.arange(64, dtype=np.float32).reshape(8, 8)
+x_global = np.arange(32, dtype=np.float32).reshape(16, 2)
+sl = multihost.process_local_batch_slice(16)
+w = jax.make_array_from_process_local_data(sh_w, w_global)  # replicated rows
+x = jax.make_array_from_process_local_data(sh_x, x_global[sl])
+tree = {"w": w, "x": x, "epoch": 3}
+
+path = os.path.join(ckdir, "snap")
+with ShardedCheckpointer(async_save=True) as ck:
+    ck.save(path, tree, config={"tp": 2})
+    ck.wait_until_finished()
+
+    target = {
+        "w": jax.device_put(jnp.zeros((8, 8)), sh_w),
+        "x": jax.device_put(jnp.zeros((16, 2)), sh_x),
+        "epoch": 0,
+    }
+    got, ok = ck.restore(path, target, config={"tp": 2})
+
+assert ok and got["epoch"] == 3
+assert got["w"].sharding == sh_w and got["x"].sharding == sh_x
+# every process checks ITS addressable shards against the global truth
+for arr, ref in ((got["w"], w_global), (got["x"], x_global)):
+    for s in arr.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s.data), ref[s.index])
+print(f"CKPT_MULTIHOST_OK pid={pid}", flush=True)
+"""
+
+
+def test_two_process_sharded_checkpoint(tmp_path):
+    """The sharded checkpoint's multi-host contract for real: two
+    jax.distributed processes save a globally-sharded tree (each writing
+    only its local shards) and restore it onto the same mesh placements,
+    shard contents verified per process."""
+    worker = tmp_path / "ckpt_worker.py"
+    worker.write_text(_CKPT_WORKER)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid), repo,
+             str(ckdir)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("ckpt multihost workers timed out:\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "CKPT_MULTIHOST_OK" in out, out
