@@ -41,6 +41,13 @@ def _fingerprint(config: Any) -> str:
 def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
     """Write pytree + config fingerprint. Atomic (write temp then rename)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if os.path.isdir(path):
+        # a prior --sharded-snapshots run left a checkpoint DIRECTORY at
+        # the rolling path; the snapshot-cadence contract is overwrite,
+        # so a format switch must not crash the os.replace below
+        import shutil
+
+        shutil.rmtree(path)
     blob = serialization.to_bytes(jax.device_get(tree))
     fp = _fingerprint(config).encode()
     tmp = path + ".tmp"

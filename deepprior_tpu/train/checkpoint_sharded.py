@@ -95,12 +95,29 @@ class ShardedCheckpointer:
         # drain any in-flight async save FIRST: its commit step creates
         # tree_dir, so checking existence before draining races
         self.wait_until_finished()
-        if os.path.exists(tree_dir):
-            # orbax refuses to overwrite a committed checkpoint; snapshot
-            # cadence rewrites the same path, so clear it
-            import shutil
+        # orbax refuses to overwrite a committed checkpoint; snapshot
+        # cadence rewrites the same path, so clear any old tree.  On a
+        # shared filesystem only process 0 deletes (concurrent rmtrees
+        # race mid-walk); the barrier is UNCONDITIONAL in multi-process
+        # mode so it cannot deadlock when the dir's visibility differs
+        # across processes, and no process starts the orbax save while
+        # the old tree is still being removed.
+        if jax.process_index() == 0:
+            if os.path.isfile(path):
+                # a prior msgpack (single-file) snapshot at the rolling
+                # path: the snapshot-cadence contract is overwrite, so a
+                # format switch must not crash makedirs below
+                os.remove(path)
+            if os.path.exists(tree_dir):
+                import shutil
 
-            shutil.rmtree(tree_dir)
+                shutil.rmtree(tree_dir)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                "deepprior_sharded_ckpt_clear"
+            )
         os.makedirs(path, exist_ok=True)
         self._ckptr.save(tree_dir, args=ocp.args.StandardSave(tree))
         fp_path = os.path.join(path, _FP_NAME)
