@@ -89,6 +89,30 @@ def test_async_save_overwrites_and_drains(tmp_path):
     ) == ["epoch", "v"]
 
 
+def test_snapshot_format_switch_overwrites(tmp_path):
+    """The rolling-snapshot contract is overwrite: switching a run between
+    --sharded-snapshots and the msgpack format over the same outdir must
+    replace the old snapshot, not crash on the leftover file/directory."""
+    from deepprior_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    path = str(tmp_path / "net_last.ckpt")
+    # msgpack file first, then a sharded save to the same path
+    save_checkpoint(path, {"v": jnp.zeros(4)}, config=None)
+    assert os.path.isfile(path)
+    save_checkpoint_sharded(path, {"v": jnp.ones(4)}, config=None)
+    assert is_sharded_checkpoint(path)
+    got, _ = load_checkpoint_sharded(path, {"v": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(got["v"]), np.ones(4))
+    # and back: msgpack over the sharded directory
+    save_checkpoint(path, {"v": jnp.full((4,), 2.0)}, config=None)
+    assert os.path.isfile(path)
+    got = load_checkpoint(path, {"v": jnp.zeros(4)})[0]
+    np.testing.assert_array_equal(np.asarray(got["v"]), np.full((4,), 2.0))
+
+
 @pytest.fixture(scope="module")
 def trained():
     cam = NYU_CAMERA
