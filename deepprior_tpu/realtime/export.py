@@ -153,7 +153,19 @@ def precompile_serving(
     depth = jax.ShapeDtypeStruct((batch,) + tuple(hw), jnp.float32,
                                  sharding=dev)
     com = jax.ShapeDtypeStruct((batch, 3), jnp.float32, sharding=dev)
-    compiled = jax.jit(frozen).lower(depth, com).compile()
+    # compile FRESH, bypassing the persistent compilation cache: a cache
+    # hit can return an executable compiled on a DIFFERENT host (this
+    # sandbox migrates machines between sessions), whose recorded target
+    # features fail deserialize_and_load's host check — the loaded
+    # program then dies at execution ("Buffer Definition Event ... not
+    # found").  A compiled artifact is host/topology-pinned by contract,
+    # so it must be built by THIS machine's compiler.
+    prev_cache = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        compiled = jax.jit(frozen).lower(depth, com).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev_cache)
     payload, in_tree, out_tree = se.serialize(compiled)
     meta = {
         "kind": "compiled",
