@@ -211,6 +211,20 @@ class HandCropper:
         com = np.asarray(com, np.float32).copy()
 
         xstart, xend, ystart, yend, zstart, zend = self.com_to_bounds(com, size)
+        # a CoM depth near (but not at) zero projects the metric cube to a
+        # bbox of millions of pixels: the reference explodes here too
+        # (cv2.resize of a giant canvas, handdetector.py:427-447), and this
+        # host twin would materialize it.  The device paths (ops/crop.py)
+        # stay well-defined via static shapes, so only the oracle needs a
+        # loud guard instead of an OOM/hang.
+        h, w = self.dpt.shape
+        if (xend - xstart) * (yend - ystart) > 1024 * h * w:
+            raise ValueError(
+                f"degenerate CoM depth {com[2]:.3g} mm: cube {tuple(size)} "
+                f"projects to a {int(xend - xstart)}x{int(yend - ystart)} px "
+                "bbox (the reference framework fails on this input as well); "
+                "com_z must be 0 (center-crop fallback) or a physical depth"
+            )
         cropped = self.get_crop(xstart, xend, ystart, yend, zstart, zend)
 
         if docom:

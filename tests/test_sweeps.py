@@ -1,0 +1,45 @@
+"""Randomized differential sweeps as regression tests.
+
+The repo-root probes prof_crop_sweep.py / prof_aug_sweep.py pin the whole
+crop + augmentation semantics against independent numpy twins written
+straight from the reference's formulas (handdetector.py:382-490,
+nettrainer.py:919-997).  They exit nonzero on ANY disagreement.  Running
+them with a small N keeps every future round honest about edge cases the
+fixed-geometry tests cannot reach (border/out-of-image CoMs, random
+cubes, degenerate depths); the roots remain runnable standalone with a
+bigger N for deeper hunts.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, n, timeout):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), str(n)],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_crop_differential_sweep():
+    # no --pallas: jax 0.9's interpret mode deadlocks on multi-MB
+    # io_callback args (see the probe's docstring); the pallas kernel is
+    # covered by test_pallas_crop.py + on-device BENCH_CHECK instead
+    res = _run("prof_crop_sweep.py", 16, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "0 disagreements" in res.stdout
+
+
+def test_augment_differential_sweep():
+    res = _run("prof_aug_sweep.py", 4, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "0 disagreements" in res.stdout
