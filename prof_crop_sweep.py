@@ -7,6 +7,9 @@ camera so each device path compiles once; per-sample BIT-exactness is
 asserted for
   - crop3d(method='gather') vs HandCropper.crop_area_3d (the oracle),
   - crop3d(method='onehot') vs gather,
+  - crop3d(resize='nd_bilinear') vs the host ND-aware twin (float
+    tolerance — weighted blend; 'linear' has no cross-check contract,
+    docs/PARITY.md),
   - [--pallas only] pallas_normalized_crop (interpret, fuse_clamp on RAW
     depth) vs normalized_crop(onehot on clamped depth).
 
@@ -116,6 +119,13 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
     ref_norm, _ = normalized_crop(
         dpt_c, coms, cubes, cam.fx, cam.fy, method="onehot"
     )
+    # the ND-aware resize leg (reference handdetector.py:132-202 via the
+    # round-4 resize switch); the device 'linear' method intentionally
+    # deviates from the cv2-exact host twin (docs/PARITY.md) so only
+    # nearest (above, bit-exact) and nd_bilinear have sweepable contracts
+    ndb_crop, _ = crop3d(
+        dpt_c, coms, cubes, cam.fx, cam.fy, resize="nd_bilinear"
+    )
     pl_norm = None
     if RUN_PALLAS:
         from jax.experimental.pallas import tpu as pltpu
@@ -137,6 +147,7 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
     got_m = np.asarray(got_m)
     oh_crop = np.asarray(oh_crop)
     ref_norm = np.asarray(ref_norm)
+    ndb_crop = np.asarray(ndb_crop)
 
     print("[sweep] host oracle loop...", flush=True)
     for i in range(N):
@@ -157,6 +168,21 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
             continue
         if not np.allclose(got_m[i], want_m, rtol=1e-6, atol=1e-4):
             print(f"M mismatch {tag}", flush=True)
+            fails += 1
+            continue
+        hc_nd = HandCropper(dpt_c[i].copy(), cam, resize_method="nd_bilinear")
+        want_nd, _, _ = hc_nd.crop_area_3d(
+            com=coms[i].copy(), size=tuple(cubes[i])
+        )
+        # weighted blend -> float tolerance (tests/test_resize_refine.py
+        # contract), not bit-exactness like the nearest paths
+        if not np.allclose(ndb_crop[i], want_nd, rtol=1e-5, atol=1e-3):
+            n_bad = int(
+                (~np.isclose(ndb_crop[i], want_nd, rtol=1e-5, atol=1e-3)).sum()
+            )
+            err = np.abs(ndb_crop[i] - want_nd).max()
+            print(f"NDBILINEAR!=ORACLE {tag} ({n_bad} px, max {err:.3e})",
+                  flush=True)
             fails += 1
             continue
         if pl_norm is not None and not (pl_norm[i] == ref_norm[i]).all():
