@@ -44,7 +44,19 @@ def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
     if os.path.isdir(path):
         # a prior --sharded-snapshots run left a checkpoint DIRECTORY at
         # the rolling path; the snapshot-cadence contract is overwrite,
-        # so a format switch must not crash the os.replace below
+        # so a format switch must not crash the os.replace below.  Only
+        # our own debris is removed: an arbitrary directory (e.g. an
+        # outdir passed where a file path belongs) must stay a loud
+        # error, not a recursive delete.
+        entries = set(os.listdir(path))
+        sharded_markers = {"fingerprint.json", "tree", "tree.new"}
+        if entries and not any(
+            e in sharded_markers or ".orbax-checkpoint-tmp-" in e
+            for e in entries
+        ):
+            raise IsADirectoryError(
+                f"refusing to overwrite non-checkpoint directory {path}"
+            )
         import shutil
 
         shutil.rmtree(path)

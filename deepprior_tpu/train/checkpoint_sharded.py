@@ -37,6 +37,7 @@ from deepprior_tpu.train.checkpoint import _fingerprint
 
 _FP_NAME = "fingerprint.json"
 _TREE_NAME = "tree"
+_TREE_NEW_NAME = "tree.new"
 
 
 def _ocp():
@@ -45,11 +46,54 @@ def _ocp():
     return ocp
 
 
+def _committed_tree(path: str) -> Optional[str]:
+    """The newest COMMITTED tree dir under a checkpoint path, or None.
+
+    Saves write to tree.new (orbax materializes the name only on commit)
+    and promote it over tree at the next sync point, so when both exist
+    tree.new is the newer complete snapshot; mid-write or mid-promotion
+    crashes always leave at least one committed dir behind."""
+    for name in (_TREE_NEW_NAME, _TREE_NAME):
+        d = os.path.join(path, name)
+        if os.path.isdir(d):
+            return d
+    return None
+
+
 def is_sharded_checkpoint(path: str) -> bool:
-    """True when path is a directory written by save_checkpoint_sharded."""
-    return os.path.isdir(path) and os.path.exists(
-        os.path.join(path, _FP_NAME)
+    """True when path holds a RESTORABLE sharded checkpoint: the
+    fingerprint marker plus at least one committed tree (a crash before
+    the first commit leaves the marker alone — that is debris, not a
+    checkpoint, and resume must not dispatch to the sharded restore)."""
+    return (
+        os.path.isdir(path)
+        and os.path.exists(os.path.join(path, _FP_NAME))
+        and _committed_tree(path) is not None
     )
+
+
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def _promote(path: str) -> None:
+    """Promote a committed tree.new over tree (process 0 + barrier).
+
+    Called after every drain point.  Crash-safe at every step: while
+    tree (old) is being removed or after it is gone, tree.new is intact
+    and _committed_tree prefers it; the final rename is atomic."""
+    new_dir = os.path.join(path, _TREE_NEW_NAME)
+    if jax.process_index() == 0 and os.path.isdir(new_dir):
+        import shutil
+
+        old_dir = os.path.join(path, _TREE_NAME)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.rename(new_dir, old_dir)
+    _barrier("deepprior_sharded_ckpt_promote")
 
 
 class ShardedCheckpointer:
@@ -66,6 +110,7 @@ class ShardedCheckpointer:
             else ocp.Checkpointer(handler)
         )
         self.async_save = async_save
+        self._last_path: Optional[str] = None
 
     # -- lifecycle ----------------------------------------------------
     def __enter__(self):
@@ -81,6 +126,9 @@ class ShardedCheckpointer:
     def wait_until_finished(self):
         if hasattr(self._ckptr, "wait_until_finished"):
             self._ckptr.wait_until_finished()
+        if self._last_path is not None:
+            path, self._last_path = self._last_path, None
+            _promote(path)
 
     # -- save / restore -------------------------------------------------
     def save(self, path: str, tree: Any, config: Any = None) -> None:
@@ -88,38 +136,45 @@ class ShardedCheckpointer:
 
         Arrays must be jax.Arrays (or host values); do NOT device_get
         sharded arrays first — each process writes its own shards.
-        Atomic: orbax writes to a temp dir and renames on commit."""
+
+        Crash-atomic rolling saves: the new snapshot is written to
+        tree.new (orbax itself writes a temp dir and renames on commit,
+        so tree.new only EXISTS once complete) while the previous
+        committed tree is left untouched; promotion over tree happens at
+        the next drain point (_promote).  A crash anywhere — including
+        mid-async-write, when training has already moved on — leaves at
+        least one committed tree for restore to find."""
         path = os.path.abspath(path)
         ocp = _ocp()
-        tree_dir = os.path.join(path, _TREE_NAME)
-        # drain any in-flight async save FIRST: its commit step creates
-        # tree_dir, so checking existence before draining races
+        new_dir = os.path.join(path, _TREE_NEW_NAME)
+        # drain any in-flight async save FIRST (its commit step creates
+        # tree.new, so checking existence before draining races); this
+        # also promotes the previous snapshot of OUR last save
         self.wait_until_finished()
-        # orbax refuses to overwrite a committed checkpoint; snapshot
-        # cadence rewrites the same path, so clear any old tree.  On a
-        # shared filesystem only process 0 deletes (concurrent rmtrees
-        # race mid-walk); the barrier is UNCONDITIONAL in multi-process
-        # mode so it cannot deadlock when the dir's visibility differs
-        # across processes, and no process starts the orbax save while
-        # the old tree is still being removed.
+        # Housekeeping under process 0 only (concurrent rmtrees on a
+        # shared filesystem race mid-walk); the barrier inside _promote
+        # is UNCONDITIONAL in multi-process mode so it cannot deadlock
+        # when the dir's visibility differs across processes, and no
+        # process starts the orbax save while cleanup is in flight.
+        _promote(path)  # leftover committed tree.new from a crashed run
         if jax.process_index() == 0:
             if os.path.isfile(path):
                 # a prior msgpack (single-file) snapshot at the rolling
                 # path: the snapshot-cadence contract is overwrite, so a
                 # format switch must not crash makedirs below
                 os.remove(path)
-            if os.path.exists(tree_dir):
+            if os.path.isdir(path):
+                # stale orbax temp dirs from crashed writes (never an
+                # in-flight one: all saves on this path are drained)
                 import shutil
 
-                shutil.rmtree(tree_dir)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(
-                "deepprior_sharded_ckpt_clear"
-            )
+                for name in os.listdir(path):
+                    if ".orbax-checkpoint-tmp-" in name:
+                        shutil.rmtree(os.path.join(path, name))
+        _barrier("deepprior_sharded_ckpt_clean")
         os.makedirs(path, exist_ok=True)
-        self._ckptr.save(tree_dir, args=ocp.args.StandardSave(tree))
+        self._ckptr.save(new_dir, args=ocp.args.StandardSave(tree))
+        self._last_path = path
         fp_path = os.path.join(path, _FP_NAME)
         if jax.process_index() == 0:
             tmp = fp_path + ".tmp"
@@ -132,7 +187,10 @@ class ShardedCheckpointer:
         the structure probe for optional subtrees like the trainer's
         best tracker, same contract as checkpoint.checkpoint_keys)."""
         path = os.path.abspath(path)
-        meta = self._ckptr.metadata(os.path.join(path, _TREE_NAME))
+        tree_dir = _committed_tree(path)
+        if tree_dir is None:
+            raise FileNotFoundError(f"no committed tree under {path}")
+        meta = self._ckptr.metadata(tree_dir)
         tree = getattr(meta, "item_metadata", meta)
         if hasattr(tree, "tree"):  # StandardCheckpointHandler metadata
             tree = tree.tree
@@ -185,9 +243,11 @@ class ShardedCheckpointer:
             return leaf  # python scalars restore as saved
 
         abstract = jax.tree.map(as_abstract, target)
+        tree_dir = _committed_tree(path)
+        if tree_dir is None:
+            raise FileNotFoundError(f"no committed tree under {path}")
         tree = self._ckptr.restore(
-            os.path.join(path, _TREE_NAME),
-            args=_ocp().args.StandardRestore(abstract),
+            tree_dir, args=_ocp().args.StandardRestore(abstract)
         )
         return tree, matched
 

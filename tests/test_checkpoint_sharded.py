@@ -113,6 +113,81 @@ def test_snapshot_format_switch_overwrites(tmp_path):
     np.testing.assert_array_equal(np.asarray(got["v"]), np.full((4,), 2.0))
 
 
+def test_crash_before_first_commit_is_debris(tmp_path):
+    """A crash after the fingerprint lands but before orbax commits any
+    tree leaves a marker + temp-dir debris: that must NOT be treated as a
+    restorable sharded checkpoint (resume would dispatch into a missing
+    tree), and a later save over the same path must clean it up."""
+    path = str(tmp_path / "snap")
+    os.makedirs(os.path.join(path, ".orbax-checkpoint-tmp-123"))
+    with open(os.path.join(path, "fingerprint.json"), "w") as f:
+        f.write("{}")
+    assert not is_sharded_checkpoint(path)
+    with pytest.raises(FileNotFoundError, match="no committed tree"):
+        load_checkpoint_sharded(path, {"v": jnp.zeros(4)})
+    save_checkpoint_sharded(path, {"v": jnp.ones(4)}, config=None)
+    assert is_sharded_checkpoint(path)
+    assert not os.path.exists(
+        os.path.join(path, ".orbax-checkpoint-tmp-123")
+    )
+    got, _ = load_checkpoint_sharded(path, {"v": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(got["v"]), np.ones(4))
+
+
+def test_crash_before_promotion_prefers_tree_new(tmp_path):
+    """Crash window between a committed tree.new and its promotion over
+    tree: restore must pick the NEWER snapshot (tree.new), the old tree
+    must still satisfy is_sharded_checkpoint alone (mid-promotion crash),
+    and the next save must promote the leftover before overwriting."""
+    path = str(tmp_path / "snap")
+    save_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0})
+    assert os.path.isdir(os.path.join(path, "tree"))
+
+    # second save, crash simulated BEFORE the drain point that promotes:
+    # bypass the wrapper's close (which would promote) after the sync
+    # orbax save commits tree.new
+    ck = ShardedCheckpointer(async_save=False)
+    ck.save(path, {"v": jnp.ones(4), "epoch": 5}, config=None)
+    ck._ckptr.close()  # release orbax without promoting — the "crash"
+    assert os.path.isdir(os.path.join(path, "tree.new"))
+    assert os.path.isdir(os.path.join(path, "tree"))
+
+    assert is_sharded_checkpoint(path)
+    got, _ = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0})
+    assert got["epoch"] == 5  # the newer committed snapshot wins
+    np.testing.assert_array_equal(np.asarray(got["v"]), np.ones(4))
+
+    # mid-promotion crash: old tree already gone, rename not yet done
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "tree"))
+    assert is_sharded_checkpoint(path)
+    got, _ = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0})
+    assert got["epoch"] == 5
+
+    # the next save over the path promotes the leftover, then overwrites
+    save_checkpoint_sharded(path, {"v": jnp.full((4,), 2.0), "epoch": 9})
+    assert os.path.isdir(os.path.join(path, "tree"))
+    assert not os.path.exists(os.path.join(path, "tree.new"))
+    got, _ = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0})
+    assert got["epoch"] == 9
+
+
+def test_msgpack_save_refuses_foreign_directory(tmp_path):
+    """save_checkpoint's format-switch overwrite only removes OUR debris:
+    pointing the rolling path at an arbitrary populated directory (e.g.
+    an outdir passed where a file path belongs) must raise, not rmtree."""
+    from deepprior_tpu.train.checkpoint import save_checkpoint
+
+    path = str(tmp_path / "outdir")
+    os.makedirs(path)
+    with open(os.path.join(path, "results.json"), "w") as f:
+        f.write("{}")
+    with pytest.raises(IsADirectoryError, match="refusing to overwrite"):
+        save_checkpoint(path, {"v": jnp.zeros(4)}, config=None)
+    assert os.path.exists(os.path.join(path, "results.json"))
+
+
 @pytest.fixture(scope="module")
 def trained():
     cam = NYU_CAMERA
