@@ -225,14 +225,14 @@ class DepthImporter:
             )
             gtorig = np.stack([r["gtorig"] for r in part]).astype(np.float32)
             com = jnp.asarray(gtorig[:, self.crop_joint_idx, :])
-            dptc, _, _ = clamp_depth(dpt)
+            dptc, dmin, dmax = clamp_depth(dpt)
             keep = np.asarray(check_image(dptc, 1.0))
             if docom:
                 # empty_z=300: degenerate recomputed CoM falls back to
                 # 300 mm like cropArea3D's docom (handdetector.py:415-418)
                 com = refine_com_iterative(
                     dptc, com, cube_arr, cam.fx, cam.fy, num_iter=1,
-                    empty_z=300.0,
+                    empty_z=300.0, min_depth=dmin, max_depth=dmax,
                 )
                 if self.refine_net is not None:
                     # 'comref' mode: CNN refinement of the detected CoM

@@ -48,13 +48,21 @@ def check_image(dpt, tol=1.0):
 
 
 def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend,
-                          empty_z=None):
+                          empty_z=None, min_depth=None, max_depth=None):
     """CoM of the bbox crop with z-thresholding, without materializing it.
 
     The reference crops (with 0-padding outside the image), z-thresholds
     (near -> zstart, far -> 0) and runs calculateCoM on the result
     (handdetector.py:554-563).  Equivalent masked formulation:
-    valid = in-bbox & in-image & d != 0 & d <= zend, value = max(d, zstart).
+    valid = in-bbox & in-image & d != 0 & d <= zend, value = max(d, zstart),
+    and — because calculateCoM re-masks by the detector's per-image depth
+    limits (handdetector.py:91-108) — value within [min_depth, max_depth]
+    when limits are given.  That last mask matters when zstart exceeds
+    max_depth: every near-clamped pixel is rejected and the whole crop
+    goes empty (a constant plane seeded from far away does this —
+    prof_detect_sweep.py caught its omission).  min side: value =
+    max(d, zstart) >= d >= min_depth on clamped input, a no-op, kept for
+    contract completeness.
     The returned x/y are in full-image coordinates (the reference adds back
     max(xstart, 0), i.e. the in-image crop origin — identical result since
     padding contributes nothing).
@@ -65,6 +73,10 @@ def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend,
     in_bbox = (cols >= xstart) & (cols < xend) & (rows >= ystart) & (rows < yend)
     valid = in_bbox & (dpt != 0.0) & (dpt <= zend)
     value = jnp.maximum(dpt, zstart)
+    if max_depth is not None:
+        valid = valid & (value <= max_depth)
+    if min_depth is not None:
+        valid = valid & (value >= min_depth)
     num = jnp.sum(valid).astype(jnp.float32)
     safe = jnp.maximum(num, 1.0)
     cx = jnp.sum(jnp.where(valid, cols, 0.0)) / safe
@@ -72,22 +84,42 @@ def _masked_com_in_bounds(dpt, xstart, xend, ystart, yend, zstart, zend,
     cz = jnp.sum(jnp.where(valid, value, 0.0)) / safe
     com = jnp.stack([cx, cy, cz])
 
-    # empty-crop fallback (handdetector.py:562-563): take the depth at the
-    # bbox center, positions from the (clipped) crop origin
-    ccx = jnp.clip((jnp.maximum(xstart, 0) + jnp.minimum(xend, w)) / 2.0, 0, w - 1)
-    ccy = jnp.clip((jnp.maximum(ystart, 0) + jnp.minimum(yend, h)) / 2.0, 0, h - 1)
-    center_d = dpt[ccy.astype(jnp.int32), ccx.astype(jnp.int32)]
+    # empty-crop fallback (handdetector.py:561-564): the z-THRESHOLDED
+    # crop's center pixel as depth — crop coords (oh//2, ow//2) map to
+    # image coords (ystart + oh//2, xstart + ow//2); outside the image
+    # that pixel is constant padding (0), and the getCrop threshold
+    # (near -> zstart, far -> 0) applies to whatever it reads.  The crop
+    # origin stays SIGNED image coordinates like the host twin
+    # (detector_np.refine_com_iterative) where the reference adds
+    # max(xstart, 0) — off by |xstart| for bboxes crossing the left/top
+    # edge (documented deviation, same class as the getCrop
+    # negative-slice wrap; prof_detect_sweep.py pins the host contract).
+    from deepprior_tpu.ops.crop import _exact_floor_div
+
+    ccx = xstart + _exact_floor_div(xend - xstart, 2.0)
+    ccy = ystart + _exact_floor_div(yend - ystart, 2.0)
+    inside = (ccx >= 0) & (ccx < w) & (ccy >= 0) & (ccy < h)
+    raw = dpt[
+        jnp.clip(ccy, 0, h - 1).astype(jnp.int32),
+        jnp.clip(ccx, 0, w - 1).astype(jnp.int32),
+    ]
+    center_d = jnp.where(inside, raw, 0.0)
+    center_d = jnp.where(
+        (center_d != 0.0) & (center_d < zstart), zstart, center_d
+    )
+    center_d = jnp.where(center_d > zend, 0.0, center_d)
     if empty_z is not None:
         # docom's extra constant: a degenerate center depth falls back to
         # 300 mm (handdetector.py:415-418; host oracle detector_np.py:130-132).
-        # Plain refineCoMIterative (handdetector.py:562-563) does NOT apply
+        # Plain refineCoMIterative (handdetector.py:561-564) does NOT apply
         # it, hence the opt-in.
         center_d = jnp.where(center_d == 0.0, jnp.float32(empty_z), center_d)
-    fallback = jnp.stack([jnp.maximum(xstart, 0.0), jnp.maximum(ystart, 0.0), center_d])
+    fallback = jnp.stack([xstart, ystart, center_d])
     return jnp.where(num > 0, com, fallback)
 
 
-def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None):
+def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None,
+                         min_depth=None, max_depth=None):
     """Iterative CoM refinement: crop -> CoM -> recenter, `num_iter` times.
 
     Mirrors handdetector.py:546-567.  Batched over leading axes of
@@ -95,22 +127,39 @@ def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None):
     empty_z: optional z fallback (mm) when the crop is empty AND the bbox
     center has no depth — pass 300.0 on the docom import path
     (handdetector.py:415-418); leave None elsewhere.
+    min_depth/max_depth: the detector's per-image depth limits (scalar or
+    (B,)) — pass the values `clamp_depth` returned for this image, since
+    the reference's inner calculateCoM re-masks by them (it drops
+    near-clamped pixels whenever zstart > max_depth).  When omitted they
+    are derived from the clamped image (min 10, max = per-image max) —
+    identical to the constructor's limits except when the raw frame
+    exceeded 1500 mm AND the deepest surviving band was vacated, where
+    the derived max underestimates; callers with the real limits in hand
+    should pass them.
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
     cube = jnp.broadcast_to(jnp.asarray(cube, jnp.float32), com.shape)
     img_hw = dpt.shape[-2:]
+    batch = com.shape[:-1]
+    if min_depth is None:
+        min_depth = 10.0
+    if max_depth is None:
+        max_depth = jnp.max(dpt, axis=(-2, -1))
+    min_d = jnp.broadcast_to(jnp.asarray(min_depth, jnp.float32), batch)
+    max_d = jnp.broadcast_to(jnp.asarray(max_depth, jnp.float32), batch)
 
-    def one(d, c0, cb):
+    def one(d, c0, cb, mn, mx):
         def body(_, c):
             xs, xe, ys, ye, zs, ze = com_to_bounds(c, cb, fx, fy, img_hw)
-            return _masked_com_in_bounds(d, xs, xe, ys, ye, zs, ze, empty_z)
+            return _masked_com_in_bounds(d, xs, xe, ys, ye, zs, ze, empty_z,
+                                         mn, mx)
 
         return jax.lax.fori_loop(0, num_iter, body, c0)
 
     if dpt.ndim == 2:
-        return one(dpt, com, cube)
-    return jax.vmap(one)(dpt, com, cube)
+        return one(dpt, com, cube, min_d, max_d)
+    return jax.vmap(one)(dpt, com, cube, min_d, max_d)
 
 
 def detect_closest(dpt, cube, fx, fy, num_iter=5, min_depth=10.0, max_depth=1500.0):
@@ -124,13 +173,18 @@ def detect_closest(dpt, cube, fx, fy, num_iter=5, min_depth=10.0, max_depth=1500
     one survives for clean scenes where the closest object IS the hand.
     The host-side twin lives in data/detector_np.py (HandCropper.detect).
 
-    dpt: (B, H, W) clamped depth. Returns (B, 3) CoM.
+    dpt: (B, H, W) clamped depth. min_depth/max_depth: scalar or (B,) —
+    pass the per-image limits `clamp_depth` returned (the reference's
+    detector state). Returns (B, 3) CoM.
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     h, w = dpt.shape[-2:]
+    batch = dpt.shape[:-2]
+    min_d = jnp.broadcast_to(jnp.asarray(min_depth, jnp.float32), batch)
+    max_d = jnp.broadcast_to(jnp.asarray(max_depth, jnp.float32), batch)
 
-    def seed(d):
-        valid = (d >= min_depth) & (d <= max_depth) & (d > 0)
+    def seed(d, mn, mx):
+        valid = (d >= mn) & (d <= mx) & (d > 0)
         key = jnp.where(valid, d, jnp.inf)
         idx = jnp.argmin(key.reshape(-1))
         q, p = idx // w, idx % w
@@ -138,8 +192,13 @@ def detect_closest(dpt, cube, fx, fy, num_iter=5, min_depth=10.0, max_depth=1500
             [p.astype(jnp.float32), q.astype(jnp.float32), d[q, p]]
         )
 
-    com0 = jax.vmap(seed)(dpt) if dpt.ndim == 3 else seed(dpt)
-    return refine_com_iterative(dpt, com0, cube, fx, fy, num_iter)
+    com0 = (
+        jax.vmap(seed)(dpt, min_d, max_d)
+        if dpt.ndim == 3
+        else seed(dpt, min_d, max_d)
+    )
+    return refine_com_iterative(dpt, com0, cube, fx, fy, num_iter,
+                                min_depth=min_d, max_depth=max_d)
 
 
 def _shift(x, axis, offset, fill):
@@ -301,6 +360,7 @@ def detect(dpt, cube, fx, fy, num_slices=20, min_area=200, num_iter=5):
     found, com0 = jax.vmap(
         lambda v, qq, d: _first_big_blob_com(v, qq, d, num_slices, min_area)
     )(valid, q, dc)
-    com = refine_com_iterative(dc, com0, cube, fx, fy, num_iter)
+    com = refine_com_iterative(dc, com0, cube, fx, fy, num_iter,
+                                min_depth=dmin, max_depth=dmax)
     com = jnp.where(found[:, None], com, 0.0)
     return com[0] if squeeze else com

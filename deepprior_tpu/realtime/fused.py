@@ -134,12 +134,14 @@ class FusedEstimator:
                 fuse_clamp=True, win_rows=self.win_rows,
             )
         else:
-            depth, _, _ = clamp_depth(depth)
+            depth, dmin, dmax = clamp_depth(depth)
             if self.detect:
-                com = detect_closest(depth, cube, cam.fx, cam.fy)
+                com = detect_closest(depth, cube, cam.fx, cam.fy,
+                                     min_depth=dmin, max_depth=dmax)
             elif self.refine_iters:
                 com = refine_com_iterative(
-                    depth, com, cube, cam.fx, cam.fy, self.refine_iters
+                    depth, com, cube, cam.fx, cam.fy, self.refine_iters,
+                    min_depth=dmin, max_depth=dmax,
                 )
             if self.crop_method == "pallas":
                 from deepprior_tpu.ops.pallas_crop import (

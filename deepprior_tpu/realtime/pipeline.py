@@ -101,9 +101,10 @@ class RealtimeHandposePipeline:
 
             @jax.jit
             def track(frame, com, cube):
-                d, _, _ = clamp_depth(frame[None])
+                d, dmin, dmax = clamp_depth(frame[None])
                 return refine_com_iterative(
-                    d, com[None], cube, cam.fx, cam.fy, num_iter=3
+                    d, com[None], cube, cam.fx, cam.fy, num_iter=3,
+                    min_depth=dmin, max_depth=dmax,
                 )[0]
 
             refiner = self.com_refiner

@@ -1,8 +1,9 @@
 """Randomized differential sweeps as regression tests.
 
-The repo-root probes prof_crop_sweep.py / prof_aug_sweep.py pin the whole
-crop + augmentation semantics against independent numpy twins written
-straight from the reference's formulas (handdetector.py:382-490,
+The repo-root probes prof_crop_sweep.py / prof_aug_sweep.py /
+prof_detect_sweep.py pin the whole crop + augmentation + detection
+semantics against independent numpy twins written straight from the
+reference's formulas (handdetector.py:91-108, 382-490, 546-632,
 nettrainer.py:919-997).  They exit nonzero on ANY disagreement.  Running
 them with a small N keeps every future round honest about edge cases the
 fixed-geometry tests cannot reach (border/out-of-image CoMs, random
@@ -41,5 +42,15 @@ def test_crop_differential_sweep():
 
 def test_augment_differential_sweep():
     res = _run("prof_aug_sweep.py", 4, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "0 disagreements" in res.stdout
+
+
+def test_detect_differential_sweep():
+    # calculateCoM / refineCoMIterative / slice-scan detect vs the host
+    # twins over multi-blob, corner-touching, border-clipped, plane, and
+    # speckle scenes; its first run caught the empty-crop fallback reading
+    # RAW depth and the missing [min,max]-depth re-mask (ops/com.py)
+    res = _run("prof_detect_sweep.py", 12, timeout=900)
     assert res.returncode == 0, res.stdout + res.stderr
     assert "0 disagreements" in res.stdout
