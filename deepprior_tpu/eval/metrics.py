@@ -4,6 +4,13 @@ Mirrors the quantitative surface of the reference `HandposeEvaluation`
 (reference src/util/handpose_evaluation.py:92-228): mean/max/median errors,
 per-joint variants, per-frame sequences, and frames-within-distance
 counts.  Vectorized numpy (the reference loops per frame); inputs in mm.
+
+NaN contract (reference :92-228): every statistic is nan-tolerant
+(`nanmean`/`nanstd`/`nanmax`/`nanmedian`) because shipped baseline
+prediction files can carry missing values — with one reference quirk kept:
+`getNumFramesWithinMedianDist` uses a PLAIN median (:213-219), so a frame
+with any NaN joint never counts as within distance.  All-NaN frames raise
+numpy's usual RuntimeWarning, exactly as the reference does.
 """
 
 from __future__ import annotations
@@ -31,8 +38,11 @@ class HandposeEvaluation:
             raise ValueError(
                 f"gt {gt.shape} and predictions {joints.shape} must both be (N, J, 3)"
             )
-        if np.isnan(gt).any() or np.isnan(joints).any():
-            raise ValueError("NaN in evaluation inputs")
+        if gt.shape[0] == 0:
+            # reference: "Params must be of non-zero size" (:63-65)
+            raise ValueError("evaluation inputs must be non-empty")
+        # NaN inputs are allowed (reference is nan-tolerant throughout);
+        # NaN propagates into self.dists per joint.
         self.gt = gt
         self.joints = joints
         self.dolegend = dolegend
@@ -42,46 +52,54 @@ class HandposeEvaluation:
 
     # ------------------------------------------------------------------
     def getMeanError(self) -> float:
-        """Mean over frames of (mean over joints) error
-        (handpose_evaluation.py:110-116)."""
-        return float(self.dists.mean(axis=1).mean())
+        """nanmean over frames of (nanmean over joints) error
+        (handpose_evaluation.py:92-98)."""
+        return float(np.nanmean(np.nanmean(self.dists, axis=1)))
 
     def getStdError(self) -> float:
-        return float(self.dists.mean(axis=1).std())
+        """nanmean over frames of the PER-FRAME nanstd over joints
+        (handpose_evaluation.py:99-105) — i.e. how unevenly the error is
+        spread across the joints of a typical frame, NOT the frame-to-frame
+        spread of the mean error."""
+        return float(np.nanmean(np.nanstd(self.dists, axis=1)))
 
-    def getMedianError(self) -> float:
-        return float(np.median(self.dists.mean(axis=1)))
+    def getMedianError(self) -> np.ndarray:
+        """(J,) PER-JOINT nanmedians over the sequence
+        (handpose_evaluation.py:114-121: `scipy.stats.nanmedian(dists)`
+        whose default axis is 0).  Returns an array, like the reference;
+        summarize with e.g. float(np.mean(...)) if a scalar is needed."""
+        return np.nanmedian(self.dists, axis=0)
 
     def getMaxError(self) -> float:
-        return float(self.dists.max())
+        return float(np.nanmax(self.dists))
 
     def getJointMeanError(self, joint: int) -> float:
-        return float(self.dists[:, joint].mean())
+        return float(np.nanmean(self.dists[:, joint]))
 
     def getJointStdError(self, joint: int) -> float:
-        return float(self.dists[:, joint].std())
+        return float(np.nanstd(self.dists[:, joint]))
 
     def getJointMaxError(self, joint: int) -> float:
-        return float(self.dists[:, joint].max())
+        return float(np.nanmax(self.dists[:, joint]))
 
     def getErrorPerFrame(self) -> np.ndarray:
-        return self.dists.mean(axis=1)
+        return np.nanmean(self.dists, axis=1)
 
     def getMaxErrorPerFrame(self) -> np.ndarray:
-        return self.dists.max(axis=1)
+        return np.nanmax(self.dists, axis=1)
 
     # ------------------------------------------------------------------
     # per-frame ("over sequence") surface, handpose_evaluation.py:106-228
     # ------------------------------------------------------------------
     def getMeanErrorOverSeq(self) -> np.ndarray:
-        """(N,) mean-over-joints error per frame
+        """(N,) nanmean-over-joints error per frame
         (handpose_evaluation.py:106-112)."""
-        return self.dists.mean(axis=1)
+        return np.nanmean(self.dists, axis=1)
 
     def getMaxErrorOverSeq(self) -> np.ndarray:
-        """(N,) worst-joint error per frame
+        """(N,) worst-joint (nanmax) error per frame
         (handpose_evaluation.py:130-136)."""
-        return self.dists.max(axis=1)
+        return np.nanmax(self.dists, axis=1)
 
     def getJointErrorOverSeq(self, joint: int) -> np.ndarray:
         """(N,) Euclidean error of one joint per frame
@@ -112,16 +130,17 @@ class HandposeEvaluation:
         return out
 
     def getNumFramesWithinMaxDist(self, dist: float) -> int:
-        """Frames whose WORST joint is within `dist` mm
-        (handpose_evaluation.py:~200, the standard success-rate metric)."""
-        return int((self.dists.max(axis=1) <= dist).sum())
+        """Frames whose WORST joint (nanmax) is within `dist` mm
+        (handpose_evaluation.py:196-202, the standard success-rate metric)."""
+        return int((np.nanmax(self.dists, axis=1) <= dist).sum())
 
     def getNumFramesWithinMeanDist(self, dist: float) -> int:
-        return int((self.dists.mean(axis=1) <= dist).sum())
+        return int((np.nanmean(self.dists, axis=1) <= dist).sum())
 
     def getNumFramesWithinMedianDist(self, dist: float) -> int:
         """Frames whose MEDIAN joint error is within `dist` mm
-        (handpose_evaluation.py:213-219)."""
+        (handpose_evaluation.py:213-219).  Reference quirk kept: PLAIN
+        median, so any NaN joint makes the frame's median NaN -> excluded."""
         return int((np.median(self.dists, axis=1) <= dist).sum())
 
     def getJointNumFramesWithinMaxDist(self, dist: float, joint: int) -> int:
@@ -136,7 +155,8 @@ class HandposeEvaluation:
         """(thresholds, fraction of frames with max-joint error <= t)."""
         if thresholds is None:
             thresholds = np.arange(0.0, self.plot_max_dist + 1.0, 1.0)
-        frac = (self.dists.max(axis=1)[None, :] <= thresholds[:, None]).mean(axis=1)
+        worst = np.nanmax(self.dists, axis=1)
+        frac = (worst[None, :] <= thresholds[:, None]).mean(axis=1)
         return thresholds, frac
 
     # ------------------------------------------------------------------

@@ -521,7 +521,13 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         metrics[seq.name] = {
             "mean_mm": hpe.getMeanError(),
             "max_mm": hpe.getMaxError(),
-            "median_mm": hpe.getMedianError(),
+            # median of per-frame mean errors — the repo's scalar summary
+            # (NOT the reference getMedianError, which is the (J,) array
+            # recorded next; see docs/MIGRATION.md "metric semantics")
+            "median_mm": float(np.median(hpe.getMeanErrorOverSeq())),
+            # reference getMedianError semantics: per-joint medians
+            # (handpose_evaluation.py:114-121)
+            "joint_median_mm": [float(m) for m in hpe.getMedianError()],
             "frames_within_40mm": hpe.getFractionWithinMaxDist(40.0),
             "per_joint_mean_mm": [
                 hpe.getJointMeanError(j) for j in range(joints.shape[1])

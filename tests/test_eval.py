@@ -166,10 +166,14 @@ def test_perfect_prediction():
 def test_shape_validation():
     with pytest.raises(ValueError):
         HandposeEvaluation(np.zeros((5, 14, 3)), np.zeros((6, 14, 3)))
+    with pytest.raises(ValueError):  # reference: non-zero size (:63-65)
+        HandposeEvaluation(np.zeros((0, 14, 3)), np.zeros((0, 14, 3)))
+    # NaN inputs are ACCEPTED (reference is nan-tolerant throughout;
+    # tests/test_metrics_diff.py pins the per-method NaN semantics)
     bad = np.zeros((5, 14, 3))
     bad[0, 0, 0] = np.nan
-    with pytest.raises(ValueError):
-        HandposeEvaluation(bad, np.zeros((5, 14, 3)))
+    e = HandposeEvaluation(bad, np.zeros((5, 14, 3)))
+    assert np.isfinite(e.getMeanError())
 
 
 def test_dataset_skeletons():
