@@ -303,6 +303,72 @@ def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1):
     return Trainer(model, cfg, camera, prior=prior)
 
 
+def _load_baseline_predictions(args, importer_cls, baseline_spec, gt_full):
+    """Resolve and load the shipped baseline prediction file (Tompson .mat
+    via importer.loadBaseline with gt depth-fixup, reference
+    main_nyu_posereg_embedding.py:192; LRF .txt, main_icvl:184).
+
+    One code path for both the posereg acceptance gate and the com_refine
+    epilogue (they previously duplicated this block).  Returns
+    (preds, bl_path) truncated to gt_full's frame count, or (None, None)
+    when no baseline file is configured/present.
+    """
+    bl_path = args.baseline_file
+    if bl_path is None and args.data and baseline_spec:
+        cand = os.path.join(args.data, baseline_spec["relpath"])
+        bl_path = cand if os.path.isfile(cand) else None
+    if not (bl_path and baseline_spec):
+        return None, None
+    imp = importer_cls(args.data or os.path.dirname(bl_path) or ".")
+    if baseline_spec["kind"] == "mat":
+        preds = imp.loadBaseline(bl_path, gt=gt_full)
+    else:
+        preds = imp.loadBaseline(bl_path)
+    return np.asarray(preds[: gt_full.shape[0]], np.float32), bl_path
+
+
+def _plot_training_curves(hist, outdir, prefix):
+    """Semilogy cost/error curves, always emitted after training — the
+    reference writes them unconditionally on every main
+    (main_nyu_posereg_embedding.py:133-142, main_nyu_com_refine.py:198-207).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    written = []
+    for series, tag in ((hist.get("train_cost"), "cost"),
+                        (hist.get("val_error_mm"), "errs")):
+        if not series:
+            continue
+        fig = plt.figure()
+        plt.semilogy(np.asarray(series))
+        path = os.path.join(outdir, f"{prefix}_{tag}.png")
+        fig.savefig(path)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def _plot_overlays(hpe, camera, seq, joints, prefix, stride=20):
+    """Every-`stride`-th-frame 2D skeleton overlays of one test sequence —
+    the reference emits these on every flagship run
+    (main_nyu_posereg_embedding.py:199-205).  `joints` are the predicted
+    (N, J, 3) mm poses aligned with `seq.data`."""
+    from deepprior_tpu.geometry import transform_points_2d_np
+
+    written = []
+    for ind in range(0, len(seq.data), stride):
+        fr = seq.data[ind]
+        jt_img = camera.three_d_to_img_np(joints[ind])
+        jt2d = transform_points_2d_np(jt_img, fr.T)
+        written.append(
+            hpe.plotResult(fr.dpt, fr.gtcrop, jt2d, name=f"{prefix}_{ind}")
+        )
+    return written
+
+
 def _acceptance(args, importer_cls, camera, eval_cls, tests, all_gt3d,
                 all_joints, outdir, prefix, baseline_spec, accept_mm):
     """Acceptance gate (VERDICT r2 #7): the reference's baseline-comparison
@@ -310,18 +376,16 @@ def _acceptance(args, importer_cls, camera, eval_cls, tests, all_gt3d,
 
     Builds one evaluation over the combined test set (the reference extends
     gt3D across all test seqs before comparing, main:163-166), loads the
-    shipped baseline predictions (Tompson .mat via importer.loadBaseline
-    with gt depth-fixup, main:192; LRF .txt, main_icvl:184), emits the
+    shipped baseline predictions (_load_baseline_predictions), emits the
     paper's curves — the frames-within-threshold success curve + per-joint
-    bars (plotEvaluation with the baseline overlaid, main:197) and the
-    every-20th-frame 2D skeleton overlays (main:199-205) — and asserts the
-    BASELINE.md rebuild-target mean error.
+    bars (plotEvaluation with the baseline overlaid, main:197) — and
+    asserts the BASELINE.md rebuild-target mean error.  (The
+    every-20th-frame overlays, main:199-205, are emitted unconditionally
+    by run_posereg_embedding, not just under --accept.)
 
     Returns the record written into results.json; raises SystemExit when
     the threshold is missed so CI/scripts get a non-zero exit.
     """
-    from deepprior_tpu.geometry import transform_points_2d_np
-
     thr = args.accept_mm if args.accept_mm is not None else accept_mm
     gt = np.concatenate(all_gt3d, axis=0)
     joints = np.concatenate(all_joints, axis=0)
@@ -336,17 +400,10 @@ def _acceptance(args, importer_cls, camera, eval_cls, tests, all_gt3d,
            # a synthetic-fixture run is a smoke test of the harness, not
            # evidence against the real-dataset BASELINE.md target
            "synthetic": bool(getattr(args, "synthetic", False))}
-    bl_path = args.baseline_file
-    if bl_path is None and args.data and baseline_spec:
-        cand = os.path.join(args.data, baseline_spec["relpath"])
-        bl_path = cand if os.path.isfile(cand) else None
-    if bl_path and baseline_spec:
-        imp = importer_cls(args.data or os.path.dirname(bl_path) or ".")
-        if baseline_spec["kind"] == "mat":
-            preds = imp.loadBaseline(bl_path, gt=gt)
-        else:
-            preds = imp.loadBaseline(bl_path)
-        preds = np.asarray(preds[: gt.shape[0]], np.float32)
+    preds, bl_path = _load_baseline_predictions(
+        args, importer_cls, baseline_spec, gt
+    )
+    if preds is not None:
         hpe_base = eval_cls(gt[: preds.shape[0]], preds)
         hpe_base.subfolder = outdir
         baseline = [(baseline_spec["label"], hpe_base)]
@@ -358,16 +415,6 @@ def _acceptance(args, importer_cls, camera, eval_cls, tests, all_gt3d,
 
     hpe.plotEvaluation(f"{prefix}_accept", methodName="Our regr",
                        baseline=baseline)
-    # 2D overlays, every 20th frame of the first test seq (main:199-205)
-    off = 0
-    for seq in tests[:1]:
-        for ind in range(0, len(seq.data), 20):
-            fr = seq.data[ind]
-            jt_img = camera.three_d_to_img_np(joints[off + ind])
-            jt2d = transform_points_2d_np(jt_img, fr.T)
-            hpe.plotResult(fr.dpt, fr.gtcrop, jt2d,
-                           name=f"{prefix}_{ind}")
-        off += len(seq.data)
 
     rec["pass"] = bool(rec["mean_mm"] < thr)
     status = "PASS" if rec["pass"] else "FAIL"
@@ -478,6 +525,10 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         )
     print(f"training took {time.time() - t0:.1f}s")
 
+    # always-on training-curve artifacts (reference main:133-142 writes the
+    # semilogy cost/err PNGs on every run, not only under --accept)
+    _plot_training_curves(hist, outdir, prefix)
+
     # save final net + prior (the reference appends the PCA decode layer and
     # saves network_prior.pkl, main:148-158)
     from deepprior_tpu.train.checkpoint import save_checkpoint
@@ -533,6 +584,11 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
                 hpe.getJointMeanError(j) for j in range(joints.shape[1])
             ],
         }
+    # always-on 2D overlays of the first test seq, every 20th frame
+    # (reference main:199-205 emits these on every flagship run)
+    if tests:
+        _plot_overlays(results[tests[0].name], camera, tests[0],
+                       all_joints[0], prefix)
     accept_rec = None
     if getattr(args, "accept", False) and tests:
         accept_rec = _acceptance(
@@ -641,19 +697,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
     )
 
     # training-curve plots (reference main:198-207: semilogy cost + errs)
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    for series, tag in ((hist["train_cost"], "cost"),
-                        (hist["val_error_mm"], "errs")):
-        if not series:
-            continue
-        fig = plt.figure()
-        plt.semilogy(np.asarray(series))
-        fig.savefig(os.path.join(outdir, f"{prefix}_{tag}.png"))
-        plt.close(fig)
+    _plot_training_curves(hist, outdir, prefix)
 
     if not tests:
         return state
@@ -688,17 +732,10 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
 
     # BASELINE 1: the shipped predictions' crop joint (main:240-244)
     baseline = []
-    bl_path = args.baseline_file
-    if bl_path is None and args.data and baseline_spec:
-        cand = os.path.join(args.data, baseline_spec["relpath"])
-        bl_path = cand if os.path.isfile(cand) else None
-    if bl_path and baseline_spec:
-        imp = importer_cls(args.data or os.path.dirname(bl_path) or ".")
-        if baseline_spec["kind"] == "mat":
-            preds = imp.loadBaseline(bl_path, gt=gt_full)
-        else:
-            preds = imp.loadBaseline(bl_path)
-        preds = np.asarray(preds[: gt1.shape[0]], np.float32)
+    preds, bl_path = _load_baseline_predictions(
+        args, importer_cls, baseline_spec, gt_full
+    )
+    if preds is not None:
         preds1 = preds[:, crop_joint_idx : crop_joint_idx + 1, :]
         hpe_base = eval_cls(gt1[: preds1.shape[0]], preds1)
         hpe_base.subfolder = outdir

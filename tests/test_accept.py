@@ -88,6 +88,61 @@ def test_accept_icvl_pass(tmp_path):
     assert any("accept" in f and f.endswith(".pdf") for f in files), files
     pngs = [f for f in files if f.endswith("_0.png") or f.endswith("_20.png")]
     assert len(pngs) == 2, files
+    # always-on training curves (reference main:133-142)
+    assert "train_EMB_PCA30_cost.png" in files, files
+    assert "train_EMB_PCA30_errs.png" in files, files
+
+
+def test_default_run_epilogue_artifacts(tmp_path):
+    """A DEFAULT flagship run (no --accept) must leave the reference's
+    artifact set: semilogy cost/err curves (main:133-142) and the
+    every-20th-frame skeleton overlays (main:199-205) — VERDICT r4 #4."""
+    out = _run_main(tmp_path, ["--epochs", "1", "--nmax", "33"])
+    assert out.returncode == 0, out.stderr[-3000:]
+    outdir = tmp_path / "train_EMB_PCA30"
+    files = os.listdir(outdir)
+    assert "train_EMB_PCA30_cost.png" in files, files
+    assert "train_EMB_PCA30_errs.png" in files, files
+    # 32-frame test seq -> overlays at frames 0 and 20
+    assert "train_EMB_PCA30_0.png" in files, files
+    assert "train_EMB_PCA30_20.png" in files, files
+    # and no acceptance record without --accept
+    assert "acceptance" not in json.load(open(outdir / "results.json"))
+
+
+def test_load_baseline_predictions_unit(tmp_path):
+    """The shared baseline loader (VERDICT r4 #6: one code path for
+    _acceptance and run_com_refine): explicit --baseline-file, --data
+    relpath resolution, truncation to the gt frame count, and the
+    no-baseline fallthrough."""
+    import common  # mains/common.py
+    from deepprior_tpu.data.importers import ICVLImporter
+
+    n = _write_icvl_baseline_txt(str(tmp_path / "bl.txt"), seed=5,
+                                 n_frames=8)
+    gt = np.zeros((5, 16, 3), np.float32)  # fewer frames than the file
+    spec = {"label": "Tang et al.", "relpath": "bl.txt", "kind": "txt"}
+    imp_cls = lambda bp: ICVLImporter(bp, use_cache=False)
+
+    # explicit file wins; preds truncated to gt's 5 frames
+    args = SimpleNamespace(baseline_file=str(tmp_path / "bl.txt"), data=None)
+    preds, path = common._load_baseline_predictions(args, imp_cls, spec, gt)
+    assert preds.shape == (5, 16, 3) and preds.dtype == np.float32
+    assert path == str(tmp_path / "bl.txt")
+
+    # resolved via --data + relpath
+    args = SimpleNamespace(baseline_file=None, data=str(tmp_path))
+    preds2, path2 = common._load_baseline_predictions(args, imp_cls, spec, gt)
+    assert path2 == os.path.join(str(tmp_path), "bl.txt")
+    np.testing.assert_array_equal(preds, preds2)
+
+    # missing file / no spec -> (None, None)
+    args = SimpleNamespace(baseline_file=None, data=str(tmp_path / "nope"))
+    assert common._load_baseline_predictions(args, imp_cls, spec, gt) == (
+        None, None)
+    args = SimpleNamespace(baseline_file=None, data=str(tmp_path))
+    assert common._load_baseline_predictions(args, imp_cls, None, gt) == (
+        None, None)
 
 
 def test_accept_icvl_fail_exits_nonzero(tmp_path):
@@ -165,7 +220,14 @@ def test_accept_nyu_mat_branch(tmp_path):
     assert rec["pass"] == (rec["mean_mm"] < 10.0)
     files = os.listdir(tmp_path)
     assert any("accept" in f and f.endswith(".pdf") for f in files), files
-    assert "NYU_SMOKE_0.png" in files
+    # overlays live in the always-on epilogue helper now (r5), not in
+    # _acceptance; exercise it directly on the same fixtures
+    hpe = NYUHandposeEvaluation(gt, joints)
+    hpe.subfolder = str(tmp_path)
+    written = common._plot_overlays(hpe, NYU_CAMERA, seq, joints,
+                                    "NYU_SMOKE")
+    assert len(written) == 1  # 4 frames, stride 20 -> index 0 only
+    assert "NYU_SMOKE_0.png" in os.listdir(tmp_path)
 
 
 def test_cli_resume_and_streamed(tmp_path):
