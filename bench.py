@@ -301,7 +301,10 @@ def main():
                 hk = depth_d.shape[1] + (-depth_d.shape[1]) % 8
                 wk = depth_d.shape[2] + (-depth_d.shape[2]) % 128
                 xf += crop_selection_flops(
-                    batch, *window_dims(hk, wk, est.win_rows)
+                    batch, *window_dims(hk, wk, est.win_rows),
+                    dh=est.dsize[0], dw=est.dsize[1],
+                    # resize=None is the legacy spelling of 'nearest'
+                    bilinear=(est.resize not in (None, "nearest")),
                 )
             extra["flops_per_frame"] = round(xf / batch)
             peak = peak_tflops()

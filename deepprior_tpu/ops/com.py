@@ -130,12 +130,13 @@ def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None,
     min_depth/max_depth: the detector's per-image depth limits (scalar or
     (B,)) — pass the values `clamp_depth` returned for this image, since
     the reference's inner calculateCoM re-masks by them (it drops
-    near-clamped pixels whenever zstart > max_depth).  When omitted they
-    are derived from the clamped image (min 10, max = per-image max) —
-    identical to the constructor's limits except when the raw frame
-    exceeded 1500 mm AND the deepest surviving band was vacated, where
-    the derived max underestimates; callers with the real limits in hand
-    should pass them.
+    near-clamped pixels whenever zstart > max_depth).  When omitted the
+    defaults are clamp_depth's own defaults (min 10, max 1500 — the clamp
+    ceiling), so omission can only be exact-or-LOOSER than the true
+    per-image limits, never tighter (an r4 advisor finding: deriving max
+    from the per-image jnp.max underestimated the limit whenever the
+    deepest surviving band was vacated after clamping).  Callers with the
+    real limits in hand should still pass them.
     """
     dpt = jnp.asarray(dpt, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
@@ -145,7 +146,7 @@ def refine_com_iterative(dpt, com, cube, fx, fy, num_iter=5, empty_z=None,
     if min_depth is None:
         min_depth = 10.0
     if max_depth is None:
-        max_depth = jnp.max(dpt, axis=(-2, -1))
+        max_depth = 1500.0
     min_d = jnp.broadcast_to(jnp.asarray(min_depth, jnp.float32), batch)
     max_d = jnp.broadcast_to(jnp.asarray(max_depth, jnp.float32), batch)
 

@@ -50,16 +50,28 @@ def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
         # error, not a recursive delete.
         entries = set(os.listdir(path))
         sharded_markers = {"fingerprint.json", "tree", "tree.new"}
-        if entries and not any(
+        if not entries or not all(
             e in sharded_markers or ".orbax-checkpoint-tmp-" in e
             for e in entries
         ):
+            # ALL entries must be our own sharded-checkpoint debris: a
+            # directory holding even one unrelated user file (or an empty
+            # directory, which we never write) stays a loud error rather
+            # than a recursive delete.
             raise IsADirectoryError(
                 f"refusing to overwrite non-checkpoint directory {path}"
             )
-        import shutil
+        # multihost: one process removes, everyone waits (concurrent
+        # rmtrees race mid-walk on a shared filesystem) — the same
+        # process-0 + barrier pattern as checkpoint_sharded._promote
+        if jax.process_index() == 0:
+            import shutil
 
-        shutil.rmtree(path)
+            shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("deepprior_ckpt_fmt_switch")
     blob = serialization.to_bytes(jax.device_get(tree))
     fp = _fingerprint(config).encode()
     tmp = path + ".tmp"

@@ -89,21 +89,25 @@ def crop_selection_flops(
 ) -> float:
     """Executed flops of the Pallas crop's selection matmuls (per batch).
 
-    Mirrors ops/pallas_crop.py::_crop_kernel.select: per sample, a row
-    selection (dh, win_h) @ (win_h, win_w) and a column contraction
-    (dh, win_w) @ (dw, win_w)^T.  Both run as THREE one-pass bf16 dots —
-    the exact value-side bf16x3 split for nearest (ops/exact_mxu.py),
-    and HIGHEST (which this backend lowers to a 3-pass split, measured
-    in docs/ROADMAP.md round-3 findings) for the weighted bilinear
-    selectors — so the executed-flop multiplier is 3 either way.
+    Mirrors ops/pallas_crop.py::_crop_kernel.select INCLUDING its
+    contraction-order choice (pallas_crop.py:168-191): nearest selection
+    contracts columns first whenever win_h <= win_w (true for all default
+    banded windows), making the dots (win_h, win_w) @ (win_w, dw) then
+    (dh, win_h) @ (win_h, dw); otherwise — and always for the bilinear
+    two-tap selectors, whose rows-then-cols order matches the XLA twin —
+    rows first: (dh, win_h) @ (win_h, win_w) then (dh, win_w) @ (dw,
+    win_w)^T.  Either way both dots run as THREE one-pass bf16 passes
+    (the exact value-side bf16x3 split for nearest, ops/exact_mxu.py;
+    HIGHEST's 3-pass lowering for bilinear, docs/ROADMAP.md round-3
+    findings), so the executed-flop multiplier is 3.
     """
-    # bilinear's two-tap selectors keep the SAME dot shapes (the weights
-    # live inside the selector matrices), so `bilinear` does not change
-    # the count — the arg documents that this was considered, not missed
-    del bilinear
-    row = 2.0 * dh * win_h * win_w
-    col = 2.0 * dh * dw * win_w
-    return batch * 3.0 * (row + col)
+    if bilinear or win_h > win_w:
+        first = 2.0 * dh * win_h * win_w
+        second = 2.0 * dh * dw * win_w
+    else:
+        first = 2.0 * win_h * win_w * dw
+        second = 2.0 * dh * win_h * dw
+    return batch * 3.0 * (first + second)
 
 
 def mfu_pct(flops: float, seconds: float, peak_tf: Optional[float]):
