@@ -208,30 +208,52 @@ def _crop3d_single(dpt, com, cube, fx, fy, dsize, use_bilinear=False):
     # cv2, the labels follow M, and we reproduce both).
     wb = xend - xstart
     hb = yend - ystart
-    x = (u - off_x) * (wb / sz_w) + xstart
-    y = (v - off_y) * (hb / sz_h) + ystart
 
     if use_bilinear:
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx_ = x - x0
-        fy_ = y - y0
+        # cv2.INTER_LINEAR-exact (r5; closes the r4 "half-pixel" deviation):
+        # half-pixel sample mapping in PATCH coordinates with edge-clamped
+        # taps, each tap read from the z-thresholded zero-padded patch —
+        # crop -> threshold -> resize, the reference's op order
+        # (handdetector.py:291-295 then :347-348).  The f32 op order below
+        # matches the host twin (detector_np._halfpixel_taps /
+        # resize_linear): floors, weights, and taps are bit-identical;
+        # the blend agrees to <=2 ulp (XLA contracts its multiply-adds
+        # into FMAs — test_linear_crop_matches_cv2_twin pins the bound).
+        xsp = (u - off_x + 0.5) * (wb / sz_w) - 0.5
+        ysp = (v - off_y + 0.5) * (hb / sz_h) - 0.5
+        x0 = jnp.clip(jnp.floor(xsp), 0.0, wb - 1.0)
+        y0 = jnp.clip(jnp.floor(ysp), 0.0, hb - 1.0)
+        fx_ = jnp.clip(xsp - x0, 0.0, 1.0)
+        fy_ = jnp.clip(ysp - y0, 0.0, 1.0)
+        x1 = jnp.minimum(x0 + 1.0, wb - 1.0)
+        y1 = jnp.minimum(y0 + 1.0, hb - 1.0)
 
-        def sample(qi, pi):
+        def sample(qp, pp):
+            # patch -> image coords; outside the image the patch is 0-pad,
+            # then getCrop's z-threshold applies per tap (pre-blend)
+            pi = pp + xstart
+            qi = qp + ystart
             inb = (pi >= 0) & (pi < w) & (qi >= 0) & (qi < h)
             val = _gather2d(dpt, qi.astype(jnp.int32), pi.astype(jnp.int32))
-            return jnp.where(inb, val, 0.0)
+            val = jnp.where(inb, val, 0.0)
+            val = jnp.where((val < zstart) & (val != 0.0), zstart, val)
+            return jnp.where(val > zend, 0.0, val)
 
         d00 = sample(y0, x0)
-        d01 = sample(y0, x0 + 1)
-        d10 = sample(y0 + 1, x0)
-        d11 = sample(y0 + 1, x0 + 1)
+        d01 = sample(y0, x1)
+        d10 = sample(y1, x0)
+        d11 = sample(y1, x1)
+        # the host twin's exact blend expression (resize_linear)
         d = (
-            d00 * (1 - fx_) * (1 - fy_)
-            + d01 * fx_ * (1 - fy_)
-            + d10 * (1 - fx_) * fy_
-            + d11 * fx_ * fy_
+            d00 * (1 - fy_) * (1 - fx_)
+            + d01 * (1 - fy_) * fx_
+            + d10 * fy_ * (1 - fx_)
+            + d11 * fy_ * fx_
         )
+        # NO post-blend z-threshold: the reference thresholds the patch
+        # before resizing, and a blend of thresholded values may land
+        # below zstart legitimately
+        return jnp.where(in_embed, d, 0.0), zstart, zend
     else:
         # cv2.INTER_NEAREST uses src = floor(dst * scale) (no half-pixel
         # offsets) — handdetector.py:343-344 semantics through our M; the
@@ -348,18 +370,41 @@ def _crop3d_onehot_batch(dpt, com, cube, fx, fy, dsize):
     return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
 
 
-def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
-    """Batched bilinear crop via separable two-tap selection matmuls.
+def _linear_taps_1d(off, sz, extent, start, n_out):
+    """cv2 half-pixel two-tap geometry along one axis, batched.
 
-    Bilinear interpolation is separable: out = R @ dpt @ C^T where each row
-    of R carries (1-fy, fy) at rows (y0, y0+1) and each row of C carries
-    (1-fx, fx) at columns (x0, x0+1).  Out-of-image taps produce zero rows,
-    matching the gather path's zero substitution (handdetector.py:274-279).
-    Runs on the MXU — no gathers (ROADMAP "bilinear crop on MXU").
+    off/sz (embed offset, embedded size), extent (patch size wb|hb) and
+    start (patch origin xs|ys) are (B,) f32; n_out is the canvas extent.
+    Same f32 op order as the host twin (detector_np._halfpixel_taps) so
+    floors and weights agree bit-for-bit.  Returns image-coordinate taps
+    (t0, t1) and the blend fraction, each (B, n_out)."""
+    u = jnp.arange(n_out, dtype=jnp.float32)
+    sp = (u[None, :] - off[:, None] + 0.5) * (extent / sz)[:, None] - 0.5
+    t0 = jnp.clip(jnp.floor(sp), 0.0, (extent - 1.0)[:, None])
+    frac = jnp.clip(sp - t0, 0.0, 1.0)
+    t1 = jnp.minimum(t0 + 1.0, (extent - 1.0)[:, None])
+    return t0 + start[:, None], t1 + start[:, None], frac
+
+
+def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
+    """Batched cv2.INTER_LINEAR crop via separable two-tap selection matmuls.
+
+    cv2-exact sampling (r5; closes the r4 "half-pixel" deviation): the
+    half-pixel patch-space taps with edge clamping (_linear_taps_1d), each
+    tap reading the z-THRESHOLDED zero-padded patch — crop -> threshold ->
+    resize, the reference's op order (handdetector.py:291-295, :347-348).
+    Bilinear interpolation is separable: out = R @ T @ C^T where T is the
+    per-sample thresholded frame, each row of R carries (1-fy, fy) at rows
+    (y0, y1) and each row of C carries (1-fx, fx) at columns (x0, x1); at a
+    clamped patch edge y0 == y1 and the two weights land on one row,
+    summing to 1.  Out-of-image taps produce zero rows, matching the
+    patch's zero padding (thresholding keeps 0 at 0).  Runs on the MXU —
+    no gathers (ROADMAP "bilinear crop on MXU").
 
     Same sample coordinates as _crop3d_single(use_bilinear=True); the only
     deviation is summation order (separable vs 4-tap), so agreement with the
-    gather path is to f32 round-off, not bit-exact like the nearest paths.
+    gather path — and the cv2/host twin — is to f32 round-off, not
+    bit-exact like the nearest paths.
     """
     b, h, w = dpt.shape
     dw, dh = dsize
@@ -368,34 +413,42 @@ def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
     wb = xe - xs
     hb = ye - ys
 
-    u = jnp.arange(dw, dtype=jnp.float32)
-    v = jnp.arange(dh, dtype=jnp.float32)
-    # identical coordinate math to the gather path (same floors/weights)
-    x = (u[None, :] - off_x[:, None]) * (wb / sz_w)[:, None] + xs[:, None]
-    y = (v[None, :] - off_y[:, None]) * (hb / sz_h)[:, None] + ys[:, None]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fxw = x - x0  # (B, dw)
-    fyw = y - y0  # (B, dh)
+    x0, x1, fxw = _linear_taps_1d(off_x, sz_w, wb, xs, dw)  # (B, dw)
+    y0, y1, fyw = _linear_taps_1d(off_y, sz_h, hb, ys, dh)  # (B, dh)
+
+    # getCrop's z-threshold BEFORE the blend (0-pad stays 0 under it)
+    zs_b = zstart[:, None, None]
+    ze_b = zend[:, None, None]
+    thr = jnp.where((dpt < zs_b) & (dpt != 0.0), zs_b, dpt)
+    thr = jnp.where(thr > ze_b, 0.0, thr)
 
     hh = jnp.arange(h, dtype=jnp.float32)
     ww = jnp.arange(w, dtype=jnp.float32)
     rowsel = (y0[:, :, None] == hh[None, None, :]) * (1.0 - fyw)[:, :, None] + (
-        (y0[:, :, None] + 1.0) == hh[None, None, :]
+        y1[:, :, None] == hh[None, None, :]
     ) * fyw[:, :, None]  # (B, dh, H)
     colsel = (x0[:, :, None] == ww[None, None, :]) * (1.0 - fxw)[:, :, None] + (
-        (x0[:, :, None] + 1.0) == ww[None, None, :]
+        x1[:, :, None] == ww[None, None, :]
     ) * fxw[:, :, None]  # (B, dw, W)
 
     rows = jnp.einsum(
-        "bih,bhw->biw", rowsel.astype(dpt.dtype), dpt,
+        "bih,bhw->biw", rowsel.astype(dpt.dtype), thr,
         precision=jax.lax.Precision.HIGHEST,
     )
     d = jnp.einsum(
         "biw,bjw->bij", rows, colsel.astype(dpt.dtype),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize)
+    # embed mask only — NO post-blend z-threshold (it ran per tap above)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
+    vv = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
+    in_embed = (
+        (uu >= off_x[:, None, None])
+        & (uu < (off_x + sz_w)[:, None, None])
+        & (vv >= off_y[:, None, None])
+        & (vv < (off_y + sz_h)[:, None, None])
+    )
+    return jnp.where(in_embed, d, 0.0)
 
 
 def _crop3d_nd_bilinear_batch(dpt, com, cube, fx, fy, dsize):
@@ -482,12 +535,16 @@ def crop3d(dpt, com, cube, fx, fy, dsize=(128, 128), use_bilinear=False,
             the fast path on TPU)
     resize: the reference ctor's resize-method switch (handdetector.py:
             57-69): 'nearest' (RESIZE_CV2_NN, the reference default —
-            bit-exact here), 'linear' (RESIZE_CV2_LINEAR; this fused
-            two-tap resampler omits cv2's half-pixel offset — documented
-            deviation), or 'nd_bilinear' (RESIZE_BILINEAR, the ND-aware
-            hand-written resize — reference-ordered threshold-then-blend,
-            gather-based on every `method`).  None keeps the legacy
-            use_bilinear flag (False -> nearest, True -> linear).
+            bit-exact here), 'linear' (RESIZE_CV2_LINEAR — cv2-exact
+            half-pixel mapping with edge-clamped taps, reference op order
+            crop -> threshold -> resize; the gather path matches the host
+            cv2 twin to <=2 ulp (XLA FMA contraction of the blend; taps
+            and weights bit-identical), the one-hot/Pallas paths agree to
+            f32 round-off — r5, closes the r4 deviation), or 'nd_bilinear'
+            (RESIZE_BILINEAR, the ND-aware hand-written resize —
+            reference-ordered threshold-then-blend, gather-based on every
+            `method`).  None keeps the legacy use_bilinear flag
+            (False -> nearest, True -> linear).
     Returns (crop_mm (B, dh, dw), M (B, 3, 3)).
     """
     dpt = jnp.asarray(dpt, jnp.float32)

@@ -108,17 +108,31 @@ def _sample_crop(read, src, *, dsize, norm_zero_one, clamp, bilinear,
     # resize map (bilinear) — see ops/crop.py
     from deepprior_tpu.ops.crop import _exact_floor_div
 
+    p1 = q1 = fp = fq = None
     if bilinear:
-        # same coordinate math as _crop3d_bilinear_onehot_batch: ratio
-        # first, then offset (agreement is to f32 round-off)
-        p = (u[0:1, :] - off_x) * (wb / sz_w) + xstart  # (1, dw) float
-        q = (v[:, 0:1] - off_y) * (hb / sz_h) + ystart  # (dh, 1) float
+        # cv2-exact half-pixel taps in PATCH coords with edge clamping —
+        # same math as ops.crop._linear_taps_1d (crop -> threshold ->
+        # resize order; agreement with the XLA twin and the cv2/host
+        # oracle is to f32 round-off)
+        psp = (u[0:1, :] - off_x + 0.5) * (wb / sz_w) - 0.5  # (1, dw)
+        qsp = (v[:, 0:1] - off_y + 0.5) * (hb / sz_h) - 0.5  # (dh, 1)
+        p0 = jnp.clip(jnp.floor(psp), 0.0, wb - 1.0)
+        q0 = jnp.clip(jnp.floor(qsp), 0.0, hb - 1.0)
+        fp = jnp.clip(psp - p0, 0.0, 1.0)
+        fq = jnp.clip(qsp - q0, 0.0, 1.0)
+        p1 = jnp.minimum(p0 + 1.0, wb - 1.0) + xstart
+        q1 = jnp.minimum(q0 + 1.0, hb - 1.0) + ystart
+        p = p0 + xstart
+        q = q0 + ystart
     else:
         p = xstart + _exact_floor_div((u[0:1, :] - off_x) * wb, sz_w)
         q = ystart + _exact_floor_div((v[:, 0:1] - off_y) * hb, sz_h)
     if shift:
         p = p - read(14)  # wx
         q = q - read(13)  # wy
+        if bilinear:
+            p1 = p1 - read(14)
+            q1 = q1 - read(13)
 
     def select(src, p_rel, q_rel):
         """Selection matmuls; out-of-range -> zero row == zero pad.
@@ -147,13 +161,17 @@ def _sample_crop(read, src, *, dsize, norm_zero_one, clamp, bilinear,
         ww = jax.lax.broadcasted_iota(jnp.int32, (dw, sw), 1).astype(jnp.float32)
         if bilinear:
             # weighted two-tap selectors are not bf16-exact: keep HIGHEST;
-            # rows-then-cols order matches the XLA twin bit-for-bit
-            q0 = jnp.floor(q_rel)
-            fq = q_rel - q0
-            rowsel = (hh == q0) * (1.0 - fq) + (hh == q0 + 1.0) * fq
-            p0c = jnp.floor(p_rel).reshape(dw, 1)
-            fpc = p_rel.reshape(dw, 1) - p0c
-            colsel = (ww == p0c) * (1.0 - fpc) + (ww == p0c + 1.0) * fpc
+            # rows-then-cols order matches the XLA twin bit-for-bit.
+            # getCrop's z-threshold applies to the WINDOW VALUES before
+            # the blend (reference order crop -> threshold -> resize);
+            # the 0-pad outside the window stays 0 via zero selector rows
+            src = jnp.where((src < zstart) & (src != 0.0), zstart, src)
+            src = jnp.where(src > zend, 0.0, src)
+            rowsel = (hh == q_rel) * (1.0 - fq) + (hh == q1) * fq
+            p0c = p_rel.reshape(dw, 1)
+            p1c = p1.reshape(dw, 1)
+            fpc = fp.reshape(dw, 1)
+            colsel = (ww == p0c) * (1.0 - fpc) + (ww == p1c) * fpc
             rows = jnp.dot(
                 rowsel, src,
                 preferred_element_type=jnp.float32,
@@ -191,9 +209,13 @@ def _sample_crop(read, src, *, dsize, norm_zero_one, clamp, bilinear,
         )  # (dh, dw)
 
     def epilogue(d):
-        # z-threshold: near -> zstart, far -> 0
-        d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
-        d = jnp.where(d > zend, 0.0, d)
+        if not bilinear:
+            # z-threshold: near -> zstart, far -> 0.  The bilinear path
+            # thresholds the window BEFORE the blend (reference order);
+            # a blend of thresholded values may legitimately land below
+            # zstart, so re-thresholding would corrupt it.
+            d = jnp.where((d < zstart) & (d != 0.0), zstart, d)
+            d = jnp.where(d > zend, 0.0, d)
         # embed mask: outside the resized region -> ND background (0)
         in_embed = (
             (u >= off_x) & (u < off_x + sz_w)
@@ -342,6 +364,49 @@ def _blocked_crop_kernel(params_ref, dpt_hbm, out_ref, *, dsize,
     )
 
 
+def _source_band(first_start, extent, off, sz, n_out, limit, use_bilinear):
+    """Per-axis source band [lo, hi] covering every tap the kernel reads.
+
+    p/q taps increase monotonically in the canvas index, so evaluating the
+    tap map at canvas index 0 and n_out-1 bounds the band; the window start
+    is later sublane/lane-aligned and `fits` flags whether the whole band
+    lands inside the fixed (win_h, win_w) window (see
+    pallas_normalized_crop).
+
+    Nearest mirrors the kernel's exact floor-div map.  Bilinear mirrors
+    _linear_taps_1d's cv2 half-pixel map EXACTLY (r5): patch-clamped floor
+    plus the min(+1, extent-1) second tap — the pre-r5 straight-map bound
+    missed the last tap by one pixel whenever the patch is larger than its
+    resized size (ratio > 1; caught by the randomized coverage test,
+    tests/test_pallas_crop.py::test_band_covers_taps).
+    """
+    from deepprior_tpu.ops.crop import _exact_floor_div
+
+    if use_bilinear:
+        r = extent / sz
+        # same f32 op order as _linear_taps_1d (u - off + 0.5) * r - 0.5
+        lo = jnp.clip(
+            jnp.floor((0.0 - off + 0.5) * r - 0.5), 0.0, extent - 1.0
+        ) + first_start
+        hi = jnp.minimum(
+            jnp.clip(
+                jnp.floor((float(n_out - 1) - off + 0.5) * r - 0.5),
+                0.0,
+                extent - 1.0,
+            )
+            + 1.0,
+            extent - 1.0,
+        ) + first_start
+    else:
+        lo = first_start + _exact_floor_div((0.0 - off) * extent, sz)
+        hi = first_start + _exact_floor_div(
+            (float(n_out - 1) - off) * extent, sz
+        )
+    lo = jnp.clip(lo, 0.0, limit - 1.0)
+    hi = jnp.clip(hi, 0.0, limit - 1.0)
+    return lo, hi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -411,31 +476,8 @@ def pallas_normalized_crop(
     wb = xe - xs
     hb = ye - ys
 
-    # banded-window parameters: p/q increase monotonically, so the in-image
-    # source band is [clip(first), clip(last)] per axis; the window start is
-    # sublane-aligned and clamped, and fits flags whether the whole band
-    # lands inside the fixed (win_h, win_w) window.  Bilinear reads one
-    # extra tap past the floor, hence the +1 band margin.
-    from deepprior_tpu.ops.crop import _exact_floor_div
-
-    def band(first_start, extent, off, sz, n_out, limit):
-        if use_bilinear:
-            lo = jnp.floor((0.0 - off) * (extent / sz) + first_start)
-            hi = (
-                jnp.floor((float(n_out - 1) - off) * (extent / sz) + first_start)
-                + 1.0
-            )
-        else:
-            lo = first_start + _exact_floor_div((0.0 - off) * extent, sz)
-            hi = first_start + _exact_floor_div(
-                (float(n_out - 1) - off) * extent, sz
-            )
-        lo = jnp.clip(lo, 0.0, limit - 1.0)
-        hi = jnp.clip(hi, 0.0, limit - 1.0)
-        return lo, hi
-
-    qlo, qhi = band(ys, hb, off_y, sz_h, dh, h)
-    plo, phi = band(xs, wb, off_x, sz_w, dw, w)
+    qlo, qhi = _source_band(ys, hb, off_y, sz_h, dh, h, use_bilinear)
+    plo, phi = _source_band(xs, wb, off_x, sz_w, dw, w, use_bilinear)
     # starts aligned for Mosaic: sublane (rows) multiple of 8, lane (cols)
     # multiple of 128; the clamp limits are themselves aligned multiples
     wy = jnp.clip(

@@ -8,8 +8,11 @@ asserted for
   - crop3d(method='gather') vs HandCropper.crop_area_3d (the oracle),
   - crop3d(method='onehot') vs gather,
   - crop3d(resize='nd_bilinear') vs the host ND-aware twin (float
-    tolerance — weighted blend; 'linear' has no cross-check contract,
-    docs/PARITY.md),
+    tolerance — weighted blend),
+  - crop3d(resize='linear') vs the cv2-exact host twin (r5 contract:
+    taps/weights bit-identical, blend to <=2 ulp under XLA FMA
+    contraction — docs/PARITY.md; onehot-linear vs gather-linear to f32
+    round-off),
   - [--pallas only] pallas_normalized_crop (interpret, fuse_clamp on RAW
     depth) vs normalized_crop(onehot on clamped depth).
 
@@ -120,11 +123,17 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
         dpt_c, coms, cubes, cam.fx, cam.fy, method="onehot"
     )
     # the ND-aware resize leg (reference handdetector.py:132-202 via the
-    # round-4 resize switch); the device 'linear' method intentionally
-    # deviates from the cv2-exact host twin (docs/PARITY.md) so only
-    # nearest (above, bit-exact) and nd_bilinear have sweepable contracts
+    # round-4 resize switch)
     ndb_crop, _ = crop3d(
         dpt_c, coms, cubes, cam.fx, cam.fy, resize="nd_bilinear"
+    )
+    # the cv2 INTER_LINEAR leg (handdetector.py:347-348 via the r5
+    # cv2-exact device path)
+    lin_crop, _ = crop3d(
+        dpt_c, coms, cubes, cam.fx, cam.fy, resize="linear"
+    )
+    lin_oh, _ = crop3d(
+        dpt_c, coms, cubes, cam.fx, cam.fy, resize="linear", method="onehot"
     )
     pl_norm = None
     if RUN_PALLAS:
@@ -148,6 +157,8 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
     oh_crop = np.asarray(oh_crop)
     ref_norm = np.asarray(ref_norm)
     ndb_crop = np.asarray(ndb_crop)
+    lin_crop = np.asarray(lin_crop)
+    lin_oh = np.asarray(lin_oh)
 
     print("[sweep] host oracle loop...", flush=True)
     for i in range(N):
@@ -183,6 +194,26 @@ for cam in (NYU_CAMERA, ICVL_CAMERA):
             err = np.abs(ndb_crop[i] - want_nd).max()
             print(f"NDBILINEAR!=ORACLE {tag} ({n_bad} px, max {err:.3e})",
                   flush=True)
+            fails += 1
+            continue
+        hc_lin = HandCropper(dpt_c[i].copy(), cam, resize_method="linear")
+        want_lin, _, _ = hc_lin.crop_area_3d(
+            com=coms[i].copy(), size=tuple(cubes[i])
+        )
+        # taps/weights bit-identical; blend to <=2 ulp (XLA FMA
+        # contraction) — a flipped tap/threshold would blow the atol
+        if not np.allclose(lin_crop[i], want_lin, rtol=3e-7, atol=1e-3):
+            n_bad = int(
+                (~np.isclose(lin_crop[i], want_lin, rtol=3e-7, atol=1e-3)).sum()
+            )
+            err = np.abs(lin_crop[i] - want_lin).max()
+            print(f"LINEAR!=ORACLE {tag} ({n_bad} px, max {err:.3e})",
+                  flush=True)
+            fails += 1
+            continue
+        if not np.allclose(lin_oh[i], lin_crop[i], rtol=1e-5, atol=1e-2):
+            err = np.abs(lin_oh[i] - lin_crop[i]).max()
+            print(f"LINEAR-ONEHOT!=GATHER {tag} (max {err:.3e})", flush=True)
             fails += 1
             continue
         if pl_norm is not None and not (pl_norm[i] == ref_norm[i]).all():

@@ -105,6 +105,48 @@ def test_bilinear_onehot_matches_gather(nyu_scene):
     assert np.abs(fast - np.asarray(near)).max() > 0.5
 
 
+def test_linear_crop_matches_cv2_twin(nyu_scene):
+    """Device `resize='linear'` == the cv2-exact host twin (r5; closes the
+    r4 "half-pixel" deviation).  The gather path shares the twin's exact
+    f32 op order (taps, weights, 4-tap blend: detector_np._halfpixel_taps
+    / resize_linear); tap indices and weights are bit-identical, and the
+    only residual is XLA contracting the blend's multiply-adds into FMAs
+    (<= 2 ulp; a flipped tap or threshold would show mm-scale error, which
+    the tight atol below rules out).  The one-hot MXU path computes the
+    same taps via separable selection matmuls, so it agrees to f32
+    round-off (summation order).  Reference: handdetector.py:347-348
+    (RESIZE_CV2_LINEAR) inside cropArea3D's crop -> threshold -> resize
+    order (:291-295, :427-447)."""
+    cam, frames = nyu_scene
+    cube = np.array([250.0, 250.0, 250.0], np.float32)
+    dpt = np.stack([f.extraData["dpt_full"] for f in frames])
+    com = np.stack([f.com for f in frames])
+    dpt_c, _, _ = clamp_depth(dpt)
+    gather, _ = jax.jit(
+        lambda d, c: crop3d(d, c, cube, cam.fx, cam.fy, resize="linear")
+    )(dpt_c, com)
+    onehot, _ = jax.jit(
+        lambda d, c: crop3d(
+            d, c, cube, cam.fx, cam.fy, resize="linear", method="onehot"
+        )
+    )(dpt_c, com)
+    gather = np.asarray(gather)
+    onehot = np.asarray(onehot)
+    for i, f in enumerate(frames):
+        hc = HandCropper(f.extraData["dpt_full"], cam, resize_method="linear")
+        ref, m_ref, _ = hc.crop_area_3d(com=f.com, size=tuple(cube))
+        np.testing.assert_allclose(
+            gather[i], ref, rtol=3e-7, atol=1e-3,
+            err_msg=f"frame {i}: gather path not cv2-exact (mod FMA ulps)",
+        )
+        # most pixels ARE bit-identical (only FMA-contracted blends move)
+        assert np.mean(gather[i] == ref) > 0.9
+        np.testing.assert_allclose(onehot[i], ref, rtol=1e-5, atol=1e-2)
+    # and it genuinely interpolates (differs from the nearest default)
+    near, _ = crop3d(dpt_c, com, cube, cam.fx, cam.fy)
+    assert np.abs(gather - np.asarray(near)).max() > 0.5
+
+
 def test_crop_label_invariant(nyu_scene):
     """gtcrop == transformPoints2D(gtorig, M) — the invariant implicitly
     asserted at reference importers.py:396."""

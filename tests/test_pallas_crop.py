@@ -227,3 +227,75 @@ def test_pallas_crop_win_cols_and_blocked(scene):
                 dpt, com, cube, cam.fx, cam.fy, **kw
             )
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_band_covers_taps():
+    """The banded window's per-axis source band must cover EVERY tap the
+    kernel reads, for both resize maps, over randomized geometry — the
+    correctness contract behind `fits` (a missed tap silently selects 0
+    inside the band).  Regression: the pre-r5 bilinear bound used the
+    straight (non-half-pixel) map and missed the last tap by one pixel
+    whenever the patch is larger than its resized size (ratio > 1)."""
+    import jax.numpy as jnp
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.ops.crop import (
+        _embed_geometry,
+        _exact_floor_div,
+        _linear_taps_1d,
+        com_to_bounds,
+    )
+    from deepprior_tpu.ops.pallas_crop import _source_band
+
+    cam = NYU_CAMERA
+    h, w = cam.height, cam.width
+    rng = np.random.default_rng(77)
+    n = 256
+    # depths down to 150 mm give patch/resize ratios far above 1 (the
+    # regression regime); include border and far CoMs
+    com = np.stack([
+        rng.uniform(-50, w + 50, n),
+        rng.uniform(-50, h + 50, n),
+        rng.uniform(150.0, 1400.0, n),
+    ], 1).astype(np.float32)
+    cube = rng.uniform(100.0, 400.0, (n, 1)).repeat(3, 1).astype(np.float32)
+
+    xs, xe, ys, ye, _, _ = com_to_bounds(com, cube, cam.fx, cam.fy, (h, w))
+    _, off_x, off_y, sz_w, sz_h = _embed_geometry(xs, xe, ys, ye, (128, 128))
+    wb, hb = xe - xs, ye - ys
+
+    for start, extent, off, sz, n_out, limit in (
+        (ys, hb, off_y, sz_h, 128, h),
+        (xs, wb, off_x, sz_w, 128, w),
+    ):
+        u = jnp.arange(n_out, dtype=jnp.float32)[None, :]
+        in_embed = np.asarray(
+            (u >= off[:, None]) & (u < (off + sz)[:, None])
+        )
+        for use_bilinear in (False, True):
+            lo, hi = _source_band(
+                start, extent, off, sz, n_out, limit, use_bilinear
+            )
+            lo, hi = np.asarray(lo), np.asarray(hi)
+            if use_bilinear:
+                t0, t1, _ = _linear_taps_1d(off, sz, extent, start, n_out)
+                taps = np.concatenate([np.asarray(t0), np.asarray(t1)], 1)
+                valid = np.concatenate([in_embed, in_embed], 1)
+            else:
+                taps = np.asarray(
+                    start[:, None]
+                    + _exact_floor_div((u - off[:, None]) * extent[:, None],
+                                       sz[:, None])
+                )
+                valid = in_embed
+            # only in-image taps need band coverage (out-of-image selects
+            # the zero pad regardless of the window)
+            valid = valid & (taps >= 0) & (taps <= limit - 1)
+            bad_lo = valid & (taps < lo[:, None])
+            bad_hi = valid & (taps > hi[:, None])
+            assert not bad_lo.any(), (
+                f"bilinear={use_bilinear}: {int(bad_lo.sum())} taps below band"
+            )
+            assert not bad_hi.any(), (
+                f"bilinear={use_bilinear}: {int(bad_hi.sum())} taps above band"
+            )
