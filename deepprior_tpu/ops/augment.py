@@ -76,6 +76,7 @@ def augment_batch(
     rot_range: float = 180.0,
     norm_zero_one: bool = False,
     use_pallas: Optional[bool] = None,
+    fuse_norm: Optional[bool] = None,
 ):
     """Augment a batch of normalized crops + labels on device.
 
@@ -85,6 +86,13 @@ def augment_batch(
     cube:       (B, 3) metric cubes in mm
     m:          (B, 3, 3) crop transforms (full frame -> patch)
     aug_modes:  static list, subset of {'com', 'rot', 'sc', 'none'}
+    fuse_norm:  fold unnormalize/premax/threshold/renormalize into the
+                Pallas warp kernel (one HBM pass instead of four —
+                pallas_warp_norm); requires the Pallas path.  None keeps
+                the measured default (on whenever use_pallas is on; the
+                r5 A/B probe prof_aug_ab.py records the step-level win).
+                Agreement with the unfused pipeline is to f32 ulps (the
+                fused unnormalize may FMA differently than XLA's).
 
     Returns (crops_norm', labels_norm' (B, J, 3) scaled by cube'/2,
              com', cube', m').
@@ -117,15 +125,6 @@ def augment_batch(
     # apart
     rot = jnp.mod(jnp.where(is_mode["rot"], rot, 0.0), 360.0)
     sc = jnp.where(is_mode["sc"], sc, 1.0)
-
-    # ---- unnormalize to mm (nettrainer.py:948-952) ----
-    com_z = com[:, 2][:, None, None]
-    cube_z = cube[:, 2][:, None, None]
-    if norm_zero_one:
-        img_mm = crops_norm * cube_z + (com_z - cube_z / 2.0)
-    else:
-        img_mm = crops_norm * (cube_z / 2.0) + com_z
-    premax = jnp.max(img_mm, axis=(1, 2))
 
     # ---- per-mode geometry ----
     com3d = camera.img_to_3d(com)
@@ -183,14 +182,8 @@ def augment_batch(
         from deepprior_tpu.ops.pallas_warp import ROW_CHUNK
 
         use_pallas = jax.default_backend() == "tpu" and (h % ROW_CHUNK == 0)
-    if use_pallas:
-        from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
-
-        warped = pallas_warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
-    else:
-        warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
-    # 'none'/'rot'-with-rot==0 must be bit-exact passthrough; identity warp
-    # is exact by construction (round-to-nearest of integer coords)
+    if fuse_norm is None:
+        fuse_norm = use_pallas
 
     # z-threshold about the (new) com with the *original* cube for sc mode
     # (scaleHand passes size=cube, handdetector.py:771-773), the new com for
@@ -198,11 +191,46 @@ def augment_batch(
     _, _, _, _, zs_t, ze_t = com_to_bounds(
         new_com, cube, camera.fx, camera.fy, img_hw
     )
-    thresh = needs_recrop[:, None, None]
-    zs_b = zs_t[:, None, None]
-    ze_b = ze_t[:, None, None]
-    warped = jnp.where(thresh & (warped < zs_b) & (warped != 0.0), zs_b, warped)
-    warped = jnp.where(thresh & (warped > ze_b), 0.0, warped)
+
+    out = None
+    if use_pallas and fuse_norm:
+        # fused single-pass pipeline (pallas_warp_norm): unnormalize,
+        # warp, threshold, renormalize without intermediate HBM round
+        # trips — same selection math, f32-ulp agreement with the
+        # unfused path (test_pallas_warp.py pins it)
+        from deepprior_tpu.ops.pallas_warp import pallas_warp_norm
+
+        out = pallas_warp_norm(
+            crops_norm, a_fwd, com[:, 2], cube[:, 2], needs_recrop,
+            zs_t, ze_t, new_com[:, 2], new_cube[:, 2],
+            norm_zero_one=norm_zero_one, border=0.0, nv_val=NV_VAL,
+        )
+    else:
+        # ---- unnormalize to mm (nettrainer.py:948-952) ----
+        com_z = com[:, 2][:, None, None]
+        cube_z = cube[:, 2][:, None, None]
+        if norm_zero_one:
+            img_mm = crops_norm * cube_z + (com_z - cube_z / 2.0)
+        else:
+            img_mm = crops_norm * (cube_z / 2.0) + com_z
+        premax = jnp.max(img_mm, axis=(1, 2))
+        if use_pallas:
+            from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+            warped = pallas_warp_patch(
+                img_mm, a_fwd, border=0.0, nv_val=NV_VAL
+            )
+        else:
+            warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
+        # 'none'/'rot'-with-rot==0 must be bit-exact passthrough; identity
+        # warp is exact by construction (round-to-nearest of int coords)
+        thresh = needs_recrop[:, None, None]
+        zs_b = zs_t[:, None, None]
+        ze_b = ze_t[:, None, None]
+        warped = jnp.where(
+            thresh & (warped < zs_b) & (warped != 0.0), zs_b, warped
+        )
+        warped = jnp.where(thresh & (warped > ze_b), 0.0, warped)
 
     # ---- labels ----
     # com: joints3D + com3D - new_com3D (moveCoM, handdetector.py:708)
@@ -218,18 +246,19 @@ def augment_batch(
     )
     labels_norm = labels / (new_cube[:, 2] / 2.0)[:, None, None]
 
-    # ---- renormalize (nettrainer.py:985-997) ----
-    ncz = new_com[:, 2][:, None, None]
-    ncu = new_cube[:, 2][:, None, None]
-    zend = ncz + ncu / 2.0
-    zstart = ncz - ncu / 2.0
-    d = warped
-    d = jnp.where(d == premax[:, None, None], zend, d)
-    d = jnp.where(d == 0.0, zend, d)
-    d = jnp.clip(d, zstart, zend)
-    if norm_zero_one:
-        out = (d - zstart) / ncu
-    else:
-        out = (d - ncz) / (ncu / 2.0)
+    if out is None:
+        # ---- renormalize (nettrainer.py:985-997) ----
+        ncz = new_com[:, 2][:, None, None]
+        ncu = new_cube[:, 2][:, None, None]
+        zend = ncz + ncu / 2.0
+        zstart = ncz - ncu / 2.0
+        d = warped
+        d = jnp.where(d == premax[:, None, None], zend, d)
+        d = jnp.where(d == 0.0, zend, d)
+        d = jnp.clip(d, zstart, zend)
+        if norm_zero_one:
+            out = (d - zstart) / ncu
+        else:
+            out = (d - ncz) / (ncu / 2.0)
 
     return out, labels_norm, new_com, new_cube, m_out

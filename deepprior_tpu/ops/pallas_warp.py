@@ -146,6 +146,148 @@ def _sep_warp_kernel(params_ref, img_ref, *, hw, border, nv_val):
     return val  # (h, w)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("norm_zero_one", "border", "nv_val")
+)
+def pallas_warp_norm(
+    patch_norm,
+    m_fwd,
+    com_z,
+    cube_z,
+    thresh,
+    zs_t,
+    ze_t,
+    new_com_z,
+    new_cube_z,
+    norm_zero_one: bool = False,
+    border: float = 0.0,
+    nv_val: Optional[float] = None,
+):
+    """Fused augmentation epilogue: unnormalize + warp + recrop-threshold +
+    renormalize in ONE kernel pass (r5 probe, VERDICT r4 #3).
+
+    The unfused pipeline (ops/augment.py) runs four HBM passes over the
+    patch batch per step: XLA unnormalize (read+write), the warp kernel
+    (read+write), and XLA threshold+renormalize (read+write) plus the
+    premax reduction (read).  This kernel reads the normalized patch once,
+    unnormalizes it in VMEM, computes premax in-register, selects through
+    the SAME warp math (_sep_warp_kernel/_warp_kernel — selection is
+    bit-identical), applies the recrop z-threshold and the premax/zero
+    renormalization (nettrainer.py:985-997), and writes the final
+    normalized crop — one read + one write of the patch batch total.
+
+    patch_norm: (B, H, W) normalized crops; m_fwd: (B, 3, 3) forward
+    transforms.  com_z/cube_z: ORIGINAL per-sample normalization scalars
+    (B,); thresh: (B,) bool-ish — apply the recrop threshold (com/sc
+    modes); zs_t/ze_t: (B,) threshold bounds; new_com_z/new_cube_z: (B,)
+    renormalization scalars.  Agreement with the unfused pipeline is to
+    f32 ulps (the in-kernel unnormalize may fuse its multiply-add
+    differently than XLA's), pinned by test_pallas_warp.py.
+    """
+    patch_norm = jnp.asarray(patch_norm, jnp.float32)
+    b, h, w = patch_norm.shape
+    assert h % ROW_CHUNK == 0, f"H={h} must be a multiple of {ROW_CHUNK}"
+    n_chunks = h // ROW_CHUNK
+    m_inv = inv3x3(jnp.asarray(m_fwd, jnp.float32))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    com_z, cube_z = f32(com_z), f32(cube_z)
+    zs_t, ze_t = f32(zs_t), f32(ze_t)
+    new_com_z, new_cube_z = f32(new_com_z), f32(new_cube_z)
+    # unnormalize:   img_mm = patch * s_in + t_in   (nettrainer.py:948-952)
+    if norm_zero_one:
+        s_in = cube_z
+        t_in = com_z - cube_z / 2.0
+    else:
+        s_in = cube_z / 2.0
+        t_in = com_z
+    # renormalize:   out = (clip(d', zstart2, zend2) - t_out) / s_out
+    zend2 = new_com_z + new_cube_z / 2.0
+    zstart2 = new_com_z - new_cube_z / 2.0
+    if norm_zero_one:
+        t_out, s_out = zstart2, new_cube_z
+    else:
+        t_out, s_out = new_com_z, new_cube_z / 2.0
+    params = jnp.stack(
+        [
+            m_inv[:, 0, 0], m_inv[:, 0, 1], m_inv[:, 0, 2],
+            m_inv[:, 1, 0], m_inv[:, 1, 1], m_inv[:, 1, 2],
+            s_in, t_in, f32(thresh), zs_t, ze_t,
+            zstart2, zend2, t_out, s_out,
+        ],
+        axis=1,
+    )  # (B, 15)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_chunks, ROW_CHUNK * w), lambda i, params: (i, 0, 0)
+            ),
+            pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0)),
+        ],
+    )
+
+    def kernel(params_ref, img_ref, out_flat_ref, out_2d_ref):
+        i = pl.program_id(0)
+        img = img_ref[0] * params_ref[i, 6] + params_ref[i, 7]  # (h, w) mm
+        premax = jnp.max(img)
+        do_thresh = params_ref[i, 8] > 0.0
+        zs_b, ze_b = params_ref[i, 9], params_ref[i, 10]
+        lo2, hi2 = params_ref[i, 11], params_ref[i, 12]
+        t_o, s_o = params_ref[i, 13], params_ref[i, 14]
+
+        def epilogue(val):
+            # recrop z-threshold (com/sc modes only; augment.py order)
+            val = jnp.where(
+                do_thresh & (val < zs_b) & (val != 0.0), zs_b, val
+            )
+            val = jnp.where(do_thresh & (val > ze_b), 0.0, val)
+            # premax/zero -> far face, clip, renormalize
+            # (nettrainer.py:985-997)
+            val = jnp.where(val == premax, hi2, val)
+            val = jnp.where(val == 0.0, hi2, val)
+            val = jnp.clip(val, lo2, hi2)
+            return (val - t_o) / s_o
+
+        separable = (params_ref[i, 1] == 0.0) & (params_ref[i, 3] == 0.0)
+
+        @pl.when(separable)
+        def _():
+            out_2d_ref[0, :, :] = epilogue(
+                _sep_warp_kernel(
+                    params_ref, img, hw=(h, w), border=border, nv_val=nv_val
+                )
+            )
+
+        @pl.when(jnp.logical_not(separable))
+        def _():
+            vals = [
+                epilogue(
+                    _warp_kernel(
+                        params_ref, img, None, ci,
+                        hw=(h, w), border=border, nv_val=nv_val,
+                    )
+                )
+                for ci in range(n_chunks)
+            ]
+            out_flat_ref[0, :, :] = jnp.concatenate(vals, axis=0)
+
+    out_flat, out_2d = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_chunks, ROW_CHUNK * w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+    )(params, patch_norm)
+    sep = (m_inv[:, 0, 1] == 0.0) & (m_inv[:, 1, 0] == 0.0)
+    return jnp.where(
+        sep[:, None, None], out_2d, out_flat.reshape(b, h, w)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("border", "nv_val"))
 def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
                       nv_val: Optional[float] = None):

@@ -54,6 +54,12 @@ class TrainConfig(NamedTuple):
     sigma_sc: float = 0.02
     rot_range: float = 180.0
     norm_zero_one: bool = False
+    # fold unnormalize/threshold/renormalize into the Pallas warp kernel
+    # (ops/pallas_warp.py::pallas_warp_norm, one HBM pass over the patch
+    # batch instead of four).  None = augment_batch's measured default
+    # (fused whenever the Pallas warp runs); False forces the r4 unfused
+    # pipeline (the prof_aug_ab.py A/B lever).
+    aug_fuse_norm: Optional[bool] = None
     snapshot_every: int = 5  # nettrainer snapshot_last cadence
     eval_every: int = 1  # epochs between validation-observer runs
     # sub-epoch observer cadence in MINIBATCHES (reference
@@ -753,6 +759,7 @@ class Trainer:
                 aug_modes=tuple(cfg.aug_modes),
                 sigma_com=cfg.sigma_com, sigma_sc=cfg.sigma_sc,
                 rot_range=cfg.rot_range, norm_zero_one=cfg.norm_zero_one,
+                fuse_norm=cfg.aug_fuse_norm,
             )
         else:
             labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]

@@ -146,3 +146,76 @@ def test_pallas_warp_mixed_batch_routes_both_paths():
     assert mismatch < 1e-4, f"{mismatch:.6f} of pixels differ"
     # identity sample must be bit-exact passthrough
     np.testing.assert_array_equal(out[1], patches[1])
+
+
+def test_pallas_warp_norm_identity_roundtrip():
+    """Fused unnorm+warp+renorm with identity transforms, no threshold and
+    unchanged (com, cube) is the renormalize(unnormalize(patch)) identity:
+    values inside the cube round-trip to f32 ulps; the per-sample max and
+    background map to +1 (the far cube face), exactly like the unfused
+    epilogue (nettrainer.py:985-997)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_norm
+
+    b, h, w = 2, 128, 128
+    rng = np.random.default_rng(9)
+    patch = rng.uniform(-0.9, 0.9, (b, h, w)).astype(np.float32)
+    # the patch max IS premax after unnormalization: it must map to the
+    # far cube face (here: itself, since +1 unnormalizes to zend)
+    patch[:, 0, 0] = 1.0
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+    com_z = np.array([700.0, 900.0], np.float32)
+    cube_z = np.array([250.0, 300.0], np.float32)
+    zeros = np.zeros(b, np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            pallas_warp_norm(
+                patch, eye, com_z, cube_z, zeros, zeros, zeros,
+                com_z, cube_z,
+            )
+        )
+    np.testing.assert_allclose(out, patch, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_augment_fuse_norm_matches_unfused():
+    """augment_batch(fuse_norm=True) == the unfused Pallas pipeline to f32
+    ulps (the fused kernel unnormalizes in VMEM; XLA's elementwise pass may
+    FMA differently), across all four modes including the recrop
+    threshold."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.camera import NYU_CAMERA
+    from deepprior_tpu.data.synthetic import make_frame
+    from deepprior_tpu.ops.augment import augment_batch
+    from deepprior_tpu.ops.crop import normalize_crop
+
+    rng = np.random.default_rng(6)
+    frames = [make_frame(NYU_CAMERA, rng) for _ in range(4)]
+    cube = np.tile(np.array([250.0, 250.0, 250.0], np.float32), (4, 1))
+    crops = np.stack([f.dpt for f in frames])
+    com = np.stack([f.com for f in frames])
+    m = np.stack([f.T for f in frames])
+    gt3d = np.stack([f.gt3Dcrop for f in frames])
+    crops_norm = np.asarray(normalize_crop(crops, com[:, 2], cube[:, 2]))
+
+    key = jax.random.key(3)
+    with pltpu.force_tpu_interpret_mode():
+        ref = augment_batch(
+            key, crops_norm, gt3d, com, cube, m, NYU_CAMERA,
+            aug_modes=("com", "rot", "sc", "none"), use_pallas=True,
+            fuse_norm=False,
+        )
+        ref = [np.asarray(a) for a in ref]
+        out = augment_batch(
+            key, crops_norm, gt3d, com, cube, m, NYU_CAMERA,
+            aug_modes=("com", "rot", "sc", "none"), use_pallas=True,
+            fuse_norm=True,
+        )
+        out = [np.asarray(a) for a in out]
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # and the fused crops are overwhelmingly bit-identical (only FMA-moved
+    # unnormalize values can differ)
+    assert np.mean(out[0] == ref[0]) > 0.99
