@@ -89,10 +89,13 @@ def augment_batch(
     fuse_norm:  fold unnormalize/premax/threshold/renormalize into the
                 Pallas warp kernel (one HBM pass instead of four —
                 pallas_warp_norm); requires the Pallas path.  None keeps
-                the measured default (on whenever use_pallas is on; the
-                r5 A/B probe prof_aug_ab.py records the step-level win).
-                Agreement with the unfused pipeline is to f32 ulps (the
-                fused unnormalize may FMA differently than XLA's).
+                the measured default: OFF — the r5 in-scan A/B probe
+                (prof_aug_ab.py, real TPU, interleaved reps) measured the
+                fused kernel 0.91x/0.95x the unfused step at batch
+                128/512; the per-sample kernel-step latency dominates, not
+                HBM passes (docs/ROADMAP.md round-5 findings).  Agreement
+                with the unfused pipeline is to f32 ulps (the fused
+                unnormalize may FMA differently than XLA's).
 
     Returns (crops_norm', labels_norm' (B, J, 3) scaled by cube'/2,
              com', cube', m').
@@ -183,7 +186,11 @@ def augment_batch(
 
         use_pallas = jax.default_backend() == "tpu" and (h % ROW_CHUNK == 0)
     if fuse_norm is None:
-        fuse_norm = use_pallas
+        # measured default: the fused kernel LOST its A/B (0.91x/0.95x at
+        # batch 128/512, prof_aug_ab.py) — XLA already fuses the
+        # elementwise un/renormalize into neighbours, so the kernel only
+        # adds per-sample in-kernel epilogue latency
+        fuse_norm = False
 
     # z-threshold about the (new) com with the *original* cube for sc mode
     # (scaleHand passes size=cube, handdetector.py:771-773), the new com for

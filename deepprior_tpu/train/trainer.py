@@ -57,8 +57,9 @@ class TrainConfig(NamedTuple):
     # fold unnormalize/threshold/renormalize into the Pallas warp kernel
     # (ops/pallas_warp.py::pallas_warp_norm, one HBM pass over the patch
     # batch instead of four).  None = augment_batch's measured default
-    # (fused whenever the Pallas warp runs); False forces the r4 unfused
-    # pipeline (the prof_aug_ab.py A/B lever).
+    # (unfused: the r5 A/B probe prof_aug_ab.py measured the fused kernel
+    # 0.91x/0.95x the unfused step at batch 128/512); True opts into the
+    # fused kernel (bit-agreement to f32 ulps, tested).
     aug_fuse_norm: Optional[bool] = None
     snapshot_every: int = 5  # nettrainer snapshot_last cadence
     eval_every: int = 1  # epochs between validation-observer runs

@@ -33,14 +33,25 @@ _SRC = os.path.join(_CPP_DIR, "capture.cpp")
 if not os.path.exists(_LIB) or (
     os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
 ):
+    # compile to a per-process temp name and os.replace (atomic on POSIX):
+    # under pytest-xdist every worker runs this conftest concurrently, and
+    # parallel g++ invocations writing the same -o would corrupt the .so
+    _tmp = f"{_LIB}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB, os.path.join(_CPP_DIR, "capture.cpp"), "-lpthread"],
+             "-o", _tmp, os.path.join(_CPP_DIR, "capture.cpp"), "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(_tmp, _LIB)
     except Exception:
         pass  # capture tests skip when the lib is absent
+    finally:
+        if os.path.exists(_tmp):
+            try:
+                os.remove(_tmp)
+            except OSError:
+                pass
 
 
 @pytest.fixture(scope="session")
