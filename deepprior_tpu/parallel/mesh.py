@@ -28,8 +28,10 @@ def make_mesh(
     tp: int = 1,
     devices=None,
     slices: int = 1,
+    sp: int = 1,
 ) -> Mesh:
-    """Build a ('dp', 'tp') mesh — or ('dcn', 'dp', 'tp') with slices > 1.
+    """Build a ('dp', 'tp') mesh — with sp > 1 a ('dp', 'sp', 'tp') mesh,
+    and with slices > 1 a ('dcn', ...) prefix.
 
     Multi-slice pods connect slices over DCN (slow) while chips within a
     slice ride ICI (fast).  The 'dcn' axis is outermost, so jax.devices()'
@@ -38,6 +40,13 @@ def make_mesh(
     an ICI reduce-scatter within each slice plus one small DCN all-reduce
     across slices (the scaling-book recipe).  tp stays strictly inside a
     slice — its per-layer collectives must never cross DCN.
+
+    'sp' spatially partitions the crop height: activations shard over H
+    and GSPMD inserts the conv/pool halo exchanges (one kernel-radius row
+    band per neighbor per conv — nearest-neighbor ppermutes on ICI).  It
+    sits between dp and tp so its halo partners are ICI neighbors and it
+    never crosses DCN.  Use when per-chip activation memory binds (large
+    inputs / deep trunks), not for speed at this model's 128x128 crops.
     """
     if devices is None:
         devices = jax.devices()
@@ -47,16 +56,16 @@ def make_mesh(
     assert n % slices == 0, f"{n} devices not divisible by slices={slices}"
     per_slice = n // slices
     if dp is None:
-        assert per_slice % tp == 0, \
-            f"{per_slice} devices/slice not divisible by tp={tp}"
-        dp = per_slice // tp
-    assert slices * dp * tp == n, \
-        f"slices*dp*tp={slices * dp * tp} != {n} devices"
-    if slices > 1:
-        arr = np.asarray(devices).reshape(slices, dp, tp)
-        return Mesh(arr, axis_names=("dcn", "dp", "tp"))
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        assert per_slice % (tp * sp) == 0, \
+            f"{per_slice} devices/slice not divisible by sp*tp={sp * tp}"
+        dp = per_slice // (tp * sp)
+    assert slices * dp * sp * tp == n, \
+        f"slices*dp*sp*tp={slices * dp * sp * tp} != {n} devices"
+    dims = [("dcn", slices), ("dp", dp), ("sp", sp), ("tp", tp)]
+    keep = [(name, size) for name, size in dims
+            if size > 1 or name in ("dp", "tp")]
+    arr = np.asarray(devices).reshape([s for _, s in keep])
+    return Mesh(arr, axis_names=tuple(name for name, _ in keep))
 
 
 def batch_axes(mesh: Mesh) -> Tuple[str, ...]:

@@ -47,8 +47,19 @@ class DistributedTrainer(Trainer):
                 f"data-parallel size {n_data} ({'x'.join(self._batch_axes)})"
             )
 
+        sp = mesh.shape.get("sp", 1)
+
         def constrain(x):
-            spec = P(*((self._batch_axes,) + (None,) * (x.ndim - 1)))
+            rest = [None] * (x.ndim - 1)
+            # spatial partitioning: crop images (B, H, W) additionally
+            # shard H over 'sp'; GSPMD inserts the conv/pool halo
+            # exchanges.  The >=32 floor keeps small per-sample tensors
+            # (labels (B,J,3), transforms (B,3,3)) off the spatial axis —
+            # sharding 14 joints 2-ways buys nothing and costs collectives.
+            if sp > 1 and x.ndim >= 3 and x.shape[1] >= 32 \
+                    and x.shape[1] % sp == 0:
+                rest[0] = "sp"
+            spec = P(*((self._batch_axes,) + tuple(rest)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
         self.shard_batch = constrain

@@ -27,10 +27,16 @@ if _plat:
     jax.config.update("jax_platforms", _plat)
 
 # persistent compilation cache: the axon tunnel remote-compiles every new
-# computation (~10-60 s); caching makes repeat runs start in seconds
+# computation (~10-60 s); caching makes repeat runs start in seconds.
+# TPU-only: TPU entries are compiled server-side and survive sandbox host
+# migrations, but CPU entries are host-AOT — after a migration every hit
+# logs a cpu_aot_loader target-feature error and recompiles anyway, and
+# serialize_executable round-trips of stale hits break (ROADMAP round-4
+# environment findings), so CPU runs skip the persistent cache.
 import jax as _jax
 
-_jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+if _jax.default_backend() == "tpu":
+    _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
 def _clear_backends():
@@ -116,6 +122,10 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial-partition size: shards the crop H axis "
+                        "over an 'sp' mesh axis (GSPMD inserts the conv "
+                        "halo exchanges) — for activation-memory scaling")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (f32 parameters/optimizer state; "
                         "the MXU's native dtype — ~matmul throughput x2). "
@@ -288,9 +298,9 @@ def load_or_synthesize(args, importer_cls, camera, train_seq, test_seqs,
     return train, tests
 
 
-def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1):
+def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1, sp=1):
     """Single-chip Trainer, or DistributedTrainer over a ('dp','tp') mesh
-    when more than one device is available."""
+    (('dp','sp','tp') with sp > 1) when more than one device is available."""
     import jax
 
     from deepprior_tpu.parallel import DistributedTrainer, make_mesh
@@ -298,7 +308,7 @@ def make_trainer(model, cfg, camera, prior=None, dp=None, tp=1):
 
     n = len(jax.devices())
     if n > 1:
-        mesh = make_mesh(dp=dp, tp=tp or 1)
+        mesh = make_mesh(dp=dp, tp=tp or 1, sp=sp or 1)
         return DistributedTrainer(model, cfg, camera, mesh, prior=prior)
     return Trainer(model, cfg, camera, prior=prior)
 
@@ -498,7 +508,8 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         model_has_dropout=has_dropout and wr <= 0.0,
         validation_frequency=getattr(args, "validation_frequency", None),
     )
-    trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp, tp=args.tp)
+    trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp,
+                           tp=args.tp, sp=args.sp)
     trainer.sharded_snapshots = getattr(args, "sharded_snapshots", False)
     state = trainer.init_state(np.asarray(data.crops[: args.batch_size]))
     streamed = getattr(args, "streamed", False)
@@ -664,7 +675,8 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         use_early_stopping=False,
         validation_frequency=getattr(args, "validation_frequency", None),
     )
-    trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp, tp=args.tp)
+    trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp,
+                           tp=args.tp, sp=args.sp)
     trainer.sharded_snapshots = getattr(args, "sharded_snapshots", False)
     state = trainer.init_state(np.asarray(data.crops[: cfg.batch_size]))
     streamed = getattr(args, "streamed", False)

@@ -29,6 +29,10 @@ def test_make_mesh_shapes():
     assert m.shape == {"dp": 4, "tp": 2}
     m = make_mesh(n_devices=4, tp=1)
     assert m.shape == {"dp": 4, "tp": 1}
+    m = make_mesh(sp=2, tp=2)
+    assert m.shape == {"dp": 2, "sp": 2, "tp": 2}
+    m = make_mesh(sp=2, tp=1)
+    assert m.shape == {"dp": 4, "sp": 2, "tp": 1}
 
 
 def test_param_shardings_megatron_pattern():
@@ -94,6 +98,48 @@ def test_dp_matches_single_device_loss(dist_setup):
     np.testing.assert_allclose(
         np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
     )
+
+
+def test_sp_matches_single_device_loss(dist_setup):
+    """Spatial partitioning (crop H sharded over 'sp', GSPMD halo
+    exchanges around the convs/pools) must train numerically equivalent
+    to single device modulo float reduction order."""
+    cam, data, prior = dist_setup
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=2, aug_modes=None)
+
+    t1 = Trainer(model, cfg, cam, prior=prior)
+    s1 = t1.init_state(np.asarray(data.crops[:16]))
+    s1, h1 = t1.fit(s1, data, log=lambda m: None)
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    t2 = DistributedTrainer(model, cfg, cam, mesh, prior=prior)
+    # the constrain rule spatially shards only the crop images
+    con = t2.shard_batch(jnp.zeros((16, 128, 128)))
+    assert con.sharding.spec == P("dp", "sp", None)
+    con = t2.shard_batch(jnp.zeros((16, 14, 3)))  # labels: batch-only
+    assert con.sharding.spec == P("dp", None, None)
+    s2 = t2.init_state(np.asarray(data.crops[:16]))
+    s2, h2 = t2.fit(s2, t2.place_data(data), log=lambda m: None)
+
+    np.testing.assert_allclose(
+        np.asarray(h1["train_cost"]), np.asarray(h2["train_cost"]), rtol=1e-3
+    )
+
+
+def test_sp_augmented_epoch_finite(dist_setup):
+    """dp2 x sp2 x tp2 with the full on-device augmentation in the step:
+    the warp/threshold math partitions over the spatially-sharded crops
+    and the epoch stays finite."""
+    cam, data, prior = dist_setup
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=16, learning_rate=0.003, n_epochs=2,
+                      aug_modes=("com", "rot", "none"))
+    trainer = DistributedTrainer(model, cfg, cam, mesh, prior=prior)
+    state = trainer.init_state(np.asarray(data.crops[:16]))
+    state, hist = trainer.fit(state, trainer.place_data(data), log=lambda m: None)
+    assert np.isfinite(np.asarray(hist["train_cost"])).all()
 
 
 def test_sharded_data_matches_replicated_loss(dist_setup):
