@@ -198,3 +198,27 @@ def test_require_accelerator_retry_path():
     assert "AttributeError" not in out.stderr
     # the loop actually retried (first attempt prints the waiting notice)
     assert "waiting for it" in out.stdout
+
+
+def test_make_trainer_sp_plumbing():
+    """mains.common.make_trainer(sp=2) builds a DistributedTrainer on a
+    ('dp','sp','tp') mesh and its constrain rule spatially shards crops."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "mains"))
+    import common
+
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.parallel import DistributedTrainer
+
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    cfg = TrainConfig(batch_size=8, n_epochs=1, aug_modes=None)
+    tr = common.make_trainer(model, cfg, NYU_CAMERA, dp=2, tp=2, sp=2)
+    assert isinstance(tr, DistributedTrainer)
+    assert dict(tr.mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
+    con = tr.shard_batch(jnp.zeros((8, 128, 128)))
+    assert con.sharding.spec == P("dp", "sp", None)
