@@ -256,9 +256,39 @@ def main():
         bi_onehot = crop_with("onehot", use_bilinear=True)
         bi_err = np.abs(bi_gather - bi_onehot).max()
         assert bi_err < 2e-2, f"bilinear gather vs onehot: max {bi_err}"
+
+        # host-oracle leg: REAL device lowering vs the numpy reference twin
+        # (data/detector_np.py) — nearest must be bit-exact.  linear is
+        # cv2-exact mod blend ulps on CPU XLA (tests assert rtol 3e-7 /
+        # atol 1e-3), but the TPU backend's reciprocal-multiply division
+        # can move a half-pixel tap coordinate 1 ulp and flip a floor at
+        # tap boundaries, shifting single taps by one source pixel —
+        # measured <=0.016 mm on <1% of pixels (r5 BENCH_CHECK runs).
+        # Budget 0.05 mm: ~7x below cv2's OWN INTER_LINEAR fixed-point
+        # weight quantization (1/2048 -> up to ~0.35 mm across a 700 mm
+        # depth edge), so the device path is well inside the reference's
+        # intrinsic resize noise.  Documented in docs/PARITY.md §2.2.
+        from deepprior_tpu.data.detector_np import HandCropper
+
+        lin_err = 0.0
+        for i in range(min(4, gather.shape[0])):
+            hc = HandCropper(depth_u[i], cam)
+            ref_crop, _, _ = hc.crop_area_3d(com=com_u[i], size=cube)
+            assert (gather[i] == ref_crop).all(), \
+                f"frame {i}: device nearest crop != host oracle"
+            hc_l = HandCropper(depth_u[i], cam, resize_method="linear")
+            ref_lin, _, _ = hc_l.crop_area_3d(com=com_u[i], size=cube)
+            d = np.abs(bi_gather[i] - ref_lin)
+            assert d.max() < 5e-2, (
+                f"frame {i}: device linear crop vs cv2 oracle max "
+                f"{d.max():.2e} mm exceeds the tap-boundary budget"
+            )
+            lin_err = max(lin_err, float(d.max()))
+
         print(
             f"BENCH_CHECK ok: gather==onehot bit-exact, {pallas_msg}, "
-            f"bilinear max|diff|={bi_err:.2e} mm "
+            f"bilinear max|diff|={bi_err:.2e} mm, "
+            f"host-oracle nearest bit-exact / linear max|d|={lin_err:.1e} "
             f"on {jax.devices()[0].platform}"
         )
 
