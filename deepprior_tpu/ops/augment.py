@@ -77,6 +77,7 @@ def augment_batch(
     norm_zero_one: bool = False,
     use_pallas: Optional[bool] = None,
     fuse_norm: Optional[bool] = None,
+    block_k: Optional[int] = None,
 ):
     """Augment a batch of normalized crops + labels on device.
 
@@ -96,6 +97,10 @@ def augment_batch(
                 HBM passes (docs/ROADMAP.md round-5 findings).  Agreement
                 with the unfused pipeline is to f32 ulps (the fused
                 unnormalize may FMA differently than XLA's).
+    block_k:    samples per warp-kernel grid step (Pallas path only; one
+                contiguous (K, H, W) DMA per step instead of K per-sample
+                copies — see pallas_warp.pallas_warp_patch).  Bit-identical
+                to the per-sample kernel.  None keeps per-sample.
 
     Returns (crops_norm', labels_norm' (B, J, 3) scaled by cube'/2,
              com', cube', m').
@@ -224,8 +229,9 @@ def augment_batch(
         if use_pallas:
             from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
 
+            bk = block_k if (block_k and b % block_k == 0) else None
             warped = pallas_warp_patch(
-                img_mm, a_fwd, border=0.0, nv_val=NV_VAL
+                img_mm, a_fwd, border=0.0, nv_val=NV_VAL, block_k=bk
             )
         else:
             warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)

@@ -61,15 +61,14 @@ from deepprior_tpu.ops.exact_mxu import (
 )
 
 
-def _warp_kernel(params_ref, img_ref, out_ref, ci, *, hw, border, nv_val):
+def _warp_kernel(params_ref, img_ref, si, ci, *, hw, border, nv_val):
     h, w = hw
-    i = pl.program_id(0)
-    inv00 = params_ref[i, 0]
-    inv01 = params_ref[i, 1]
-    inv02 = params_ref[i, 2]
-    inv10 = params_ref[i, 3]
-    inv11 = params_ref[i, 4]
-    inv12 = params_ref[i, 5]
+    inv00 = params_ref[si, 0]
+    inv01 = params_ref[si, 1]
+    inv02 = params_ref[si, 2]
+    inv10 = params_ref[si, 3]
+    inv11 = params_ref[si, 4]
+    inv12 = params_ref[si, 5]
 
     n = ROW_CHUNK * w
     # flat output pixel index on the LANE dimension (shape (1, n)) so the
@@ -104,7 +103,7 @@ def _warp_kernel(params_ref, img_ref, out_ref, ci, *, hw, border, nv_val):
     return val  # (1, ROW_CHUNK*w)
 
 
-def _sep_warp_kernel(params_ref, img_ref, *, hw, border, nv_val):
+def _sep_warp_kernel(params_ref, img_ref, si, *, hw, border, nv_val):
     """Axis-aligned warp: row/column selections factor into two matmuls.
 
     Bit-compatible with the general path: with m01 == m10 == 0 the source
@@ -116,11 +115,10 @@ def _sep_warp_kernel(params_ref, img_ref, *, hw, border, nv_val):
     simplifier reassociates it away — see exact_mxu.py).
     """
     h, w = hw
-    i = pl.program_id(0)
-    inv00 = params_ref[i, 0]
-    inv02 = params_ref[i, 2]
-    inv11 = params_ref[i, 4]
-    inv12 = params_ref[i, 5]
+    inv00 = params_ref[si, 0]
+    inv02 = params_ref[si, 2]
+    inv11 = params_ref[si, 4]
+    inv12 = params_ref[si, 5]
 
     u = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
     v = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
@@ -257,7 +255,8 @@ def pallas_warp_norm(
         def _():
             out_2d_ref[0, :, :] = epilogue(
                 _sep_warp_kernel(
-                    params_ref, img, hw=(h, w), border=border, nv_val=nv_val
+                    params_ref, img, i, hw=(h, w), border=border,
+                    nv_val=nv_val,
                 )
             )
 
@@ -266,7 +265,7 @@ def pallas_warp_norm(
             vals = [
                 epilogue(
                     _warp_kernel(
-                        params_ref, img, None, ci,
+                        params_ref, img, i, ci,
                         hw=(h, w), border=border, nv_val=nv_val,
                     )
                 )
@@ -288,17 +287,40 @@ def pallas_warp_norm(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("border", "nv_val"))
+@functools.partial(
+    jax.jit, static_argnames=("border", "nv_val", "block_k")
+)
 def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
-                      nv_val: Optional[float] = None):
+                      nv_val: Optional[float] = None,
+                      block_k: Optional[int] = None):
     """Drop-in fast path for ops.crop.warp_patch (nearest, same out shape).
 
     patch: (B, H, W) f32; m_fwd: (B, 3, 3) forward transforms.
+
+    block_k: samples per grid step.  The default (None = 1) runs one
+    sample per step; block_k=K fetches K *contiguous* patches as ONE
+    (K, H, W) block — a single HBM->VMEM descriptor instead of K 64 KB
+    copies — and unrolls the K per-sample selections inside the step,
+    amortizing per-grid-step latency.  This cross-sample lever was
+    unavailable to the crop kernel (each crop's band starts at a
+    different frame offset, so K samples stay K separate DMAs there —
+    the r4 block_k crop probe measured a wash), but warp patches ARE
+    batch-contiguous.  Bit-identical to the per-sample path (same math,
+    same per-sample one-hot selections).  Requires B % K == 0.
+
+    Measured on the real v5e (prof_warp_block.py, in-scan interleaved
+    A/B): K=4 is a wash (0.993x), K=8/16 are ~35% WORSE — one block
+    serializes the K samples' selection matmuls inside a single grid
+    step, while the per-sample grid overlaps sample i+1's DMA behind
+    sample i's compute.  The default stays per-sample; the knob remains
+    for directly-attached TPUs (docs/ROADMAP.md round-5 findings).
     """
     patch = jnp.asarray(patch, jnp.float32)
     b, h, w = patch.shape
     assert h % ROW_CHUNK == 0, f"H={h} must be a multiple of {ROW_CHUNK}"
     n_chunks = h // ROW_CHUNK
+    k = 1 if block_k is None else int(block_k)
+    assert b % k == 0, f"B={b} must be a multiple of block_k={k}"
     m_inv = inv3x3(jnp.asarray(m_fwd, jnp.float32))
     params = jnp.stack(
         [
@@ -310,37 +332,41 @@ def pallas_warp_patch(patch, m_fwd, border: float = 0.0,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0))],
+        grid=(b // k,),
+        in_specs=[pl.BlockSpec((k, h, w), lambda i, params: (i, 0, 0))],
         out_specs=[
             pl.BlockSpec(
-                (1, n_chunks, ROW_CHUNK * w), lambda i, params: (i, 0, 0)
+                (k, n_chunks, ROW_CHUNK * w), lambda i, params: (i, 0, 0)
             ),
-            pl.BlockSpec((1, h, w), lambda i, params: (i, 0, 0)),
+            pl.BlockSpec((k, h, w), lambda i, params: (i, 0, 0)),
         ],
     )
 
     def kernel(params_ref, img_ref, out_flat_ref, out_2d_ref):
         i = pl.program_id(0)
-        separable = (params_ref[i, 1] == 0.0) & (params_ref[i, 3] == 0.0)
+        for ki in range(k):  # static unroll over the block's samples
+            si = i * k + ki if k > 1 else i
+            separable = (
+                params_ref[si, 1] == 0.0
+            ) & (params_ref[si, 3] == 0.0)
 
-        @pl.when(separable)
-        def _():
-            out_2d_ref[0, :, :] = _sep_warp_kernel(
-                params_ref, img_ref.at[0], hw=(h, w), border=border,
-                nv_val=nv_val,
-            )
-
-        @pl.when(jnp.logical_not(separable))
-        def _():
-            vals = [
-                _warp_kernel(
-                    params_ref, img_ref.at[0], None, ci,
-                    hw=(h, w), border=border, nv_val=nv_val,
+            @pl.when(separable)
+            def _(ki=ki, si=si):
+                out_2d_ref[ki, :, :] = _sep_warp_kernel(
+                    params_ref, img_ref.at[ki], si, hw=(h, w),
+                    border=border, nv_val=nv_val,
                 )
-                for ci in range(n_chunks)  # static unroll: 1 matmul/chunk
-            ]
-            out_flat_ref[0, :, :] = jnp.concatenate(vals, axis=0)
+
+            @pl.when(jnp.logical_not(separable))
+            def _(ki=ki, si=si):
+                vals = [
+                    _warp_kernel(
+                        params_ref, img_ref.at[ki], si, ci,
+                        hw=(h, w), border=border, nv_val=nv_val,
+                    )
+                    for ci in range(n_chunks)  # static: 1 matmul/chunk
+                ]
+                out_flat_ref[ki, :, :] = jnp.concatenate(vals, axis=0)
 
     out_flat, out_2d = pl.pallas_call(
         kernel,

@@ -61,6 +61,10 @@ class TrainConfig(NamedTuple):
     # 0.91x/0.95x the unfused step at batch 128/512); True opts into the
     # fused kernel (bit-agreement to f32 ulps, tested).
     aug_fuse_norm: Optional[bool] = None
+    # samples per warp-kernel grid step (Pallas aug path; one contiguous
+    # (K, H, W) DMA per step — ops/pallas_warp.py block_k).  None =
+    # per-sample; bit-identical either way.
+    aug_block_k: Optional[int] = None
     snapshot_every: int = 5  # nettrainer snapshot_last cadence
     eval_every: int = 1  # epochs between validation-observer runs
     # sub-epoch observer cadence in MINIBATCHES (reference
@@ -760,7 +764,7 @@ class Trainer:
                 aug_modes=tuple(cfg.aug_modes),
                 sigma_com=cfg.sigma_com, sigma_sc=cfg.sigma_sc,
                 rot_range=cfg.rot_range, norm_zero_one=cfg.norm_zero_one,
-                fuse_norm=cfg.aug_fuse_norm,
+                fuse_norm=cfg.aug_fuse_norm, block_k=cfg.aug_block_k,
             )
         else:
             labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]

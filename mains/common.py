@@ -110,6 +110,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--eval-prefix", default=None)
     p.add_argument("--out", default="./eval")
     p.add_argument("--aug-modes", nargs="*", default=["com", "rot", "none"])
+    p.add_argument("--aug-block-k", type=int, default=None,
+                   help="samples per warp-kernel grid step in the Pallas "
+                        "augmentation path (one contiguous (K, H, W) DMA "
+                        "per step; bit-identical to per-sample — "
+                        "ops/pallas_warp.py block_k). Default: per-sample.")
     p.add_argument("--resnet-type", type=int, default=2,
                    help="reference ResNet head type 0-4 (resnet.py:119-195);"
                         " 2 = dropout head (default), 1 = plain head "
@@ -507,6 +512,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         weightreg_factor=wr,
         model_has_dropout=has_dropout and wr <= 0.0,
         validation_frequency=getattr(args, "validation_frequency", None),
+        aug_block_k=getattr(args, "aug_block_k", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp,
                            tp=args.tp, sp=args.sp)
@@ -674,6 +680,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         # the reference CoM recipe disables early stopping (main:170)
         use_early_stopping=False,
         validation_frequency=getattr(args, "validation_frequency", None),
+        aug_block_k=getattr(args, "aug_block_k", None),
     )
     trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp,
                            tp=args.tp, sp=args.sp)

@@ -222,3 +222,44 @@ def test_make_trainer_sp_plumbing():
     assert dict(tr.mesh.shape) == {"dp": 2, "sp": 2, "tp": 2}
     con = tr.shard_batch(jnp.zeros((8, 128, 128)))
     assert con.sharding.spec == P("dp", "sp", None)
+
+
+def test_aug_block_k_cli_plumbing():
+    """--aug-block-k reaches TrainConfig, and augment_batch falls back to
+    the per-sample kernel when the batch is not divisible by K."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "mains"))
+    import common
+
+    args = common.base_parser("t").parse_args(
+        ["--synthetic", "--aug-block-k", "8"]
+    )
+    assert args.aug_block_k == 8
+    cfg = TrainConfig(batch_size=8, n_epochs=1,
+                      aug_block_k=args.aug_block_k)
+    assert cfg.aug_block_k == 8
+
+    # non-divisible batch: the gather path ignores block_k; the Pallas
+    # wrapper would assert — augment_batch guards with a fallback to None
+    import numpy as np
+
+    import jax
+
+    from deepprior_tpu.camera import NYU_CAMERA as cam
+    from deepprior_tpu.ops.augment import augment_batch
+
+    rng = np.random.default_rng(0)
+    b = 3  # not divisible by 2
+    crops = rng.uniform(-1, 1, (b, 128, 128)).astype(np.float32)
+    gt3d = rng.normal(0, 50, (b, 14, 3)).astype(np.float32)
+    com = np.tile(np.array([320.0, 240.0, 700.0], np.float32), (b, 1))
+    cube = np.tile(np.array([300.0, 300.0, 300.0], np.float32), (b, 1))
+    m = np.tile(np.eye(3, dtype=np.float32), (b, 1, 1))
+    ref = augment_batch(jax.random.key(0), crops, gt3d, com, cube, m, cam,
+                        use_pallas=False, block_k=None)
+    out = augment_batch(jax.random.key(0), crops, gt3d, com, cube, m, cam,
+                        use_pallas=False, block_k=2)
+    for a, r in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))

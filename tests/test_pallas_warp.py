@@ -148,6 +148,38 @@ def test_pallas_warp_mixed_batch_routes_both_paths():
     np.testing.assert_array_equal(out[1], patches[1])
 
 
+def test_pallas_warp_block_k_bit_identical():
+    """block_k=K (K contiguous samples per grid step, one DMA) is
+    bit-identical to the per-sample kernel for a batch mixing separable
+    and rotated transforms."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deepprior_tpu.ops.pallas_warp import pallas_warp_patch
+
+    patches = _rand_patches(b=4, seed=13)
+    ms = np.stack(
+        [
+            np.asarray(rotation_matrix_2d(np.array([64.0, 64.0]), 29.0)),
+            np.eye(3, dtype=np.float32),
+            np.diag([1.07, 0.93, 1.0]).astype(np.float32),
+            np.asarray(rotation_matrix_2d(np.array([64.0, 64.0]), -96.0)),
+        ]
+    ).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(pallas_warp_patch(patches, jnp.asarray(ms)))
+        out2 = np.asarray(
+            pallas_warp_patch(patches, jnp.asarray(ms), block_k=2)
+        )
+        out4 = np.asarray(
+            pallas_warp_patch(patches, jnp.asarray(ms), block_k=4)
+        )
+    np.testing.assert_array_equal(out2, ref)
+    np.testing.assert_array_equal(out4, ref)
+    # non-divisible batch sizes are rejected loudly
+    with pytest.raises(AssertionError):
+        pallas_warp_patch(patches[:3], jnp.asarray(ms[:3]), block_k=2)
+
+
 def test_pallas_warp_norm_identity_roundtrip():
     """Fused unnorm+warp+renorm with identity transforms, no threshold and
     unchanged (com, cube) is the renormalize(unnormalize(patch)) identity:
