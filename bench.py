@@ -332,7 +332,8 @@ def main():
                 wk = depth_d.shape[2] + (-depth_d.shape[2]) % 128
                 xf += crop_selection_flops(
                     batch, *window_dims(hk, wk, est.win_rows),
-                    dh=est.dsize[0], dw=est.dsize[1],
+                    # dsize is (width, height) — crop3d unpacks dw, dh
+                    dh=est.dsize[1], dw=est.dsize[0],
                     # resize=None is the legacy spelling of 'nearest'
                     bilinear=(est.resize not in (None, "nearest")),
                 )

@@ -302,22 +302,28 @@ def _onehot_crop_geometry(com, cube, fx, fy, img_hw, dsize):
     return p, q, zstart, zend, off_x, off_y, sz_w, sz_h
 
 
-def _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize):
-    """z-threshold + embed mask (handdetector.py:291-295, 468-473)."""
+def _embed_mask(off_x, off_y, sz_w, sz_h, dsize):
+    """(B, dh, dw) mask of the embedded-patch region on the output canvas
+    (handdetector.py:468-473) — single source of truth for the three
+    device crop paths."""
     dw, dh = dsize
-    zs_b = zstart[:, None, None]
-    ze_b = zend[:, None, None]
-    d = jnp.where((d < zs_b) & (d != 0.0), zs_b, d)
-    d = jnp.where(d > ze_b, 0.0, d)
     uu = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
     vv = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
-    in_embed = (
+    return (
         (uu >= off_x[:, None, None])
         & (uu < (off_x + sz_w)[:, None, None])
         & (vv >= off_y[:, None, None])
         & (vv < (off_y + sz_h)[:, None, None])
     )
-    return jnp.where(in_embed, d, 0.0)
+
+
+def _crop_epilogue(d, zstart, zend, off_x, off_y, sz_w, sz_h, dsize):
+    """z-threshold + embed mask (handdetector.py:291-295, 468-473)."""
+    zs_b = zstart[:, None, None]
+    ze_b = zend[:, None, None]
+    d = jnp.where((d < zs_b) & (d != 0.0), zs_b, d)
+    d = jnp.where(d > ze_b, 0.0, d)
+    return jnp.where(_embed_mask(off_x, off_y, sz_w, sz_h, dsize), d, 0.0)
 
 
 def _onehot_select(dpt, p, q, base_x=None, base_y=None):
@@ -440,15 +446,7 @@ def _crop3d_bilinear_onehot_batch(dpt, com, cube, fx, fy, dsize):
         precision=jax.lax.Precision.HIGHEST,
     )
     # embed mask only — NO post-blend z-threshold (it ran per tap above)
-    uu = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
-    vv = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
-    in_embed = (
-        (uu >= off_x[:, None, None])
-        & (uu < (off_x + sz_w)[:, None, None])
-        & (vv >= off_y[:, None, None])
-        & (vv < (off_y + sz_h)[:, None, None])
-    )
-    return jnp.where(in_embed, d, 0.0)
+    return jnp.where(_embed_mask(off_x, off_y, sz_w, sz_h, dsize), d, 0.0)
 
 
 def _crop3d_nd_bilinear_batch(dpt, com, cube, fx, fy, dsize):
@@ -480,12 +478,7 @@ def _crop3d_nd_bilinear_batch(dpt, com, cube, fx, fy, dsize):
 
     u = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)[None]
     v = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)[None]
-    in_embed = (
-        (u >= off_x[:, None, None])
-        & (u < (off_x + sz_w)[:, None, None])
-        & (v >= off_y[:, None, None])
-        & (v < (off_y + sz_h)[:, None, None])
-    )
+    in_embed = _embed_mask(off_x, off_y, sz_w, sz_h, dsize)
     # half-pixel mapping in PATCH coords, taps clamped to the patch
     # (resize_bilinear_nd:41-51 semantics on the cropped image)
     xsp = (u - off_x[:, None, None] + 0.5) * (wb / sz_w)[:, None, None] - 0.5

@@ -50,28 +50,37 @@ def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
         # error, not a recursive delete.
         entries = set(os.listdir(path))
         sharded_markers = {"fingerprint.json", "tree", "tree.new"}
-        if not entries or not all(
+        if entries and not all(
             e in sharded_markers or ".orbax-checkpoint-tmp-" in e
             for e in entries
         ):
             # ALL entries must be our own sharded-checkpoint debris: a
-            # directory holding even one unrelated user file (or an empty
-            # directory, which we never write) stays a loud error rather
-            # than a recursive delete.
+            # directory holding even one unrelated user file stays a loud
+            # error rather than a recursive delete.  An EMPTY directory is
+            # removable debris too — checkpoint_sharded's save runs
+            # makedirs before its first marker write, so a crash in that
+            # window legitimately leaves one.
             raise IsADirectoryError(
                 f"refusing to overwrite non-checkpoint directory {path}"
             )
         # multihost: one process removes, everyone waits (concurrent
         # rmtrees race mid-walk on a shared filesystem) — the same
         # process-0 + barrier pattern as checkpoint_sharded._promote
-        if jax.process_index() == 0:
-            import shutil
+        import shutil
 
+        if jax.process_index() == 0:
             shutil.rmtree(path)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("deepprior_ckpt_fmt_switch")
+            # node-local checkpoint paths: process 0's rmtree only reached
+            # its own filesystem; any copy still visible here belongs to
+            # this host's processes (ignore_errors absorbs same-host
+            # sibling races — the os.replace below still fails loudly if
+            # the directory truly cannot be cleared)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
     blob = serialization.to_bytes(jax.device_get(tree))
     fp = _fingerprint(config).encode()
     tmp = path + ".tmp"

@@ -35,7 +35,13 @@ if _plat:
 # environment findings), so CPU runs skip the persistent cache.
 import jax as _jax
 
-if _jax.default_backend() == "tpu":
+# decide from the CONFIGURED platform string, not default_backend():
+# default_backend() initializes the PJRT backend at import time, which on a
+# TPU host opens the axon tunnel (10-60 s before --help can print) and
+# claims the chip for utility imports (CLAUDE.md: one TPU process at a
+# time — even a probe steals the device from the next process to start).
+_plat_cfg = (_jax.config.jax_platforms or "").lower()
+if "cpu" not in _plat_cfg.split(","):
     _jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 

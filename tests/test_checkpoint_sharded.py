@@ -188,6 +188,23 @@ def test_msgpack_save_refuses_foreign_directory(tmp_path):
     assert os.path.exists(os.path.join(path, "results.json"))
 
 
+def test_msgpack_save_recovers_empty_directory(tmp_path):
+    """An EMPTY directory at the rolling path is our own debris: a sharded
+    save killed between its makedirs and the first marker write leaves one
+    (checkpoint_sharded.py save order).  save_checkpoint must remove it and
+    proceed, not raise forever."""
+    from deepprior_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    path = str(tmp_path / "net_last")
+    os.makedirs(path)  # the crash window leaves exactly this
+    save_checkpoint(path, {"v": jnp.full((4,), 3.0)}, config=None)
+    assert os.path.isfile(path)
+    got, _ = load_checkpoint(path, {"v": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(got["v"]), 3.0)
+
+
 @pytest.fixture(scope="module")
 def trained():
     cam = NYU_CAMERA
