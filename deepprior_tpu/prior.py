@@ -111,9 +111,30 @@ def sample_random_poses(
     Returns (num_poses, J*3) poses normalized by cube_z/2; with
     return_all=True returns (poses, new_com3d, new_cube, rot) like the
     reference's retall.
+
+    Special case kept from the reference (handdetector.py:844-848):
+    aug_modes == ['none'] does NOT resample — every base pose is returned
+    exactly once (N rows, not num_poses), normalized by its own cube;
+    return_all then carries rot=None (the reference's retall returns only
+    3 values on this path).
     """
     num_poses = int(num_poses)
     n, j, _ = base_poses.shape
+    if tuple(aug_modes) == ("none",):
+        normalized = base_poses.astype(np.float64) / (
+            np.asarray(base_cube, np.float64)[:, 2] / 2.0
+        )[:, None, None]
+        poses_flat = normalized.reshape(n, j * 3).astype(np.float32)
+        if return_all:
+            com3d_all = np.asarray(
+                camera.img_to_3d_np(np.asarray(base_com, np.float64)),
+                np.float64,
+            )
+            return (
+                poses_flat, com3d_all,
+                np.asarray(base_cube, np.float64).copy(), None,
+            )
+        return poses_flat
     modes = rng.integers(0, len(aug_modes), num_poses)
     ridx = rng.integers(0, n, num_poses)
     off = rng.standard_normal((num_poses, 3)) * sigma_com

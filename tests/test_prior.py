@@ -63,10 +63,18 @@ def test_sample_none_mode_is_normalized_base(pose_bank):
     out = sample_random_poses(
         NYU_CAMERA, rng, poses, com, cube, 500, aug_modes=("none",)
     )
-    # every sample is some base pose / (cube_z/2)
+    # reference fast path (handdetector.py:844-848): NO resampling —
+    # every base pose appears exactly once, ignoring num_poses
+    assert out.shape == (len(poses), poses.shape[1] * 3)
     norm_bank = (poses / (cube[:, 2, None, None] / 2.0)).reshape(len(poses), -1)
-    d = np.abs(out[:, None, :] - norm_bank[None, :, :]).max(axis=2).min(axis=1)
-    assert d.max() < 1e-5
+    np.testing.assert_allclose(out, norm_bank, atol=1e-5)
+    # return_all carries rot=None on this path (reference retall has no rot)
+    p2, com3d, cube2, rot = sample_random_poses(
+        NYU_CAMERA, rng, poses, com, cube, 500, aug_modes=("none",),
+        return_all=True,
+    )
+    np.testing.assert_array_equal(p2, out)
+    assert rot is None and cube2.shape == cube.shape
 
 
 def test_rot_mode_changes_pose(pose_bank):

@@ -46,6 +46,15 @@ def test_augment_differential_sweep():
     assert "0 disagreements" in res.stdout
 
 
+def test_prior_differential_sweep():
+    # sample_random_poses vs a per-pose scalar twin transcribed from the
+    # reference loop (handdetector.py:805-909): mode dispatch, combined-
+    # mode quirks, ['none'] fast path, 2D/3D rotation, all three cameras
+    res = _run("prof_prior_sweep.py", 6, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "PASS" in res.stdout
+
+
 def test_detect_differential_sweep():
     # calculateCoM / refineCoMIterative / slice-scan detect vs the host
     # twins over multi-blob, corner-touching, border-clipped, plane, and
