@@ -144,8 +144,13 @@ class DepthImporter:
         ]
         return ImageSequence(seq_name, frames, config)
 
-    def _save_cache(self, path, frames: List[DepthFrame]):
-        if not self.use_cache or not frames:
+    def _save_cache(self, path, frames: List[DepthFrame],
+                    complete: bool = True):
+        # Nmax-truncated loads must NOT populate the cache: the key does
+        # not encode Nmax, so a later full load would silently get the
+        # truncated sequence back (the reference's pickle cache has this
+        # bug, importers.py:410-414; cache HITS truncate on read instead)
+        if not self.use_cache or not frames or not complete:
             return
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez_compressed(
@@ -290,6 +295,26 @@ class DepthImporter:
         crop, m, com = hc.crop_area_3d(
             com=gtorig[self.crop_joint_idx], size=cube, dsize=dsize, docom=docom
         )
+        if docom and self.refine_net is not None:
+            # 'comref' on the host path too: the reference's cropArea3D
+            # applies refineNet after the docom recompute and recrops
+            # about the refined CoM (handdetector.py:429-441); the batched
+            # device path (crop_frames_batched) already does — mirror it
+            # here so both paths produce the data the cache tag promises.
+            # CNNComRefiner crops internally from the clamped full frame
+            # (a batch-1 device dispatch; device_crop=True is the fast
+            # path, this one exists for reference parity).
+            com = np.asarray(
+                self.refine_net(
+                    hc.dpt[None],
+                    np.asarray(com, np.float32)[None],
+                    np.asarray(cube, np.float32),
+                ),
+                np.float32,
+            )[0]
+            crop, m, com = hc.crop_area_3d(
+                com=com, size=cube, dsize=dsize, docom=False
+            )
         com3d = self.jointImgTo3D(com)
         return DepthFrame(
             dpt=crop.astype(np.float32),
@@ -410,7 +435,7 @@ class ICVLImporter(DepthImporter):
             frames.extend(
                 self.crop_frames_batched(raws, config["cube"], docom, dsize)
             )
-        self._save_cache(cache, frames)
+        self._save_cache(cache, frames, complete=np.isinf(Nmax))
         return self._finish(seq_name, frames, config, shuffle, rng)
 
     def loadBaseline(self, filename, first_name=False):
@@ -547,7 +572,7 @@ class NYUImporter(DepthImporter):
             frames.extend(
                 self.crop_frames_batched(raws, config["cube"], docom, dsize)
             )
-        self._save_cache(cache, frames)
+        self._save_cache(cache, frames, complete=np.isinf(Nmax))
         return self._finish(seq_name, frames, config, shuffle, rng)
 
     def loadBaseline(self, filename, gt: Optional[np.ndarray] = None):
@@ -717,5 +742,5 @@ class MSRA15Importer(DepthImporter):
             frames.extend(
                 self.crop_frames_batched(raws, config["cube"], docom, dsize)
             )
-        self._save_cache(cache, frames)
+        self._save_cache(cache, frames, complete=np.isinf(Nmax))
         return self._finish(seq_name, frames, config, shuffle, rng)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deepprior_tpu.ops.crop import com_to_bounds
+from deepprior_tpu.ops.crop import clamp_depth, com_to_bounds
 
 
 def calculate_com(dpt, min_depth=10.0, max_depth=1500.0):
@@ -345,11 +345,7 @@ def detect(dpt, cube, fx, fy, num_slices=20, min_area=200, num_iter=5):
     if squeeze:
         dpt = dpt[None]
     b, h, w = dpt.shape
-    dmax = jnp.minimum(1500.0, dpt.max(axis=(-2, -1)))
-    dmin = jnp.maximum(10.0, dpt.min(axis=(-2, -1)))
-    dc = jnp.where(
-        (dpt > dmax[:, None, None]) | (dpt < dmin[:, None, None]), 0.0, dpt
-    )
+    dc, dmin, dmax = clamp_depth(dpt)  # ctor clamp, one source of truth
     dz = jnp.maximum((dmax - dmin) / float(num_slices), 1e-6)  # (B,)
     valid = dc > 0.0
     q = jnp.clip(

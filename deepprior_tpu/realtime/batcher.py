@@ -209,13 +209,22 @@ class MicroBatchServer:
     def _loop(self):
         while True:
             items, stop = self._collect()
-            if items:
+            # group by frame shape: submit() pins one resolution, but in
+            # the cameraless fallback a FAILED batch clears the tentative
+            # pin while same-shape requests may still be queued — a new
+            # submit can then re-pin a different shape, and one mixed
+            # np.stack batch would fail every co-batched caller.  Running
+            # one batch per shape group keeps failures to their own shape.
+            groups: dict = {}
+            for r in items:
+                groups.setdefault(r.depth.shape, []).append(r)
+            for shape, grp in groups.items():
                 try:
-                    self._run_batch(items)
+                    self._run_batch(grp)
                     if self._frame_shape is None:
                         # cameraless fallback: the shape is proven good
                         with self._submit_lock:
-                            self._frame_shape = items[0].depth.shape
+                            self._frame_shape = shape
                             self._tentative_shape = None
                 except Exception as e:  # resolve callers, keep serving
                     self.stats["errors"] += 1
@@ -224,7 +233,7 @@ class MicroBatchServer:
                         # caller re-propose one
                         with self._submit_lock:
                             self._tentative_shape = None
-                    for r in items:
+                    for r in grp:
                         if not r.future.done():
                             r.future.set_exception(e)
             if stop:

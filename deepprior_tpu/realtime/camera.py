@@ -279,7 +279,12 @@ class CaptureDevice(CameraDevice):
 
     def getVertices(self, fp: bool = False):
         """(ok, (dH, dW, 3) vertex map in depth-camera mm); fp=False gives
-        the reference's saturating int16 map, fp=True exact float32."""
+        the reference's saturating int16 map, fp=True exact float32.
+
+        mirror=True flips the pixel LAYOUT so the map stays per-pixel
+        aligned with getDepth()/getSyncMap() (the reference never mirrors
+        its raw maps because it never pairs them with mirrored frames);
+        the metric x VALUES keep the physical camera's sign."""
         if self._shape is None:
             return False, None
         h, w = self._shape
@@ -293,10 +298,17 @@ class CaptureDevice(CameraDevice):
             ok = self.lib.ds_get_vertices(
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), buf.size
             )
-        return (True, buf) if ok else (False, None)
+        if not ok:
+            return False, None
+        if self.mirror:
+            buf = buf[:, ::-1]
+        return True, buf
 
     def getUVMap(self):
-        """(ok, (dH, dW, 2) normalized colour coords; invalid -> (-1,-1))."""
+        """(ok, (dH, dW, 2) normalized colour coords; invalid -> (-1,-1)).
+        mirror flips the layout for depth-pixel alignment (see
+        getVertices); the UV values still index the UNMIRRORED colour
+        stream as delivered by the SDK."""
         if self._shape is None:
             return False, None
         h, w = self._shape
@@ -304,10 +316,15 @@ class CaptureDevice(CameraDevice):
         ok = self.lib.ds_get_uv(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size
         )
-        return (True, buf) if ok else (False, None)
+        if not ok:
+            return False, None
+        if self.mirror:
+            buf = buf[:, ::-1]
+        return True, buf
 
     def getSyncMap(self):
-        """(ok, (dH, dW, 3) uint8 colour remapped onto depth pixels)."""
+        """(ok, (dH, dW, 3) uint8 colour remapped onto depth pixels);
+        mirrored with the depth frame (see getVertices)."""
         if self._shape is None:
             return False, None
         h, w = self._shape
@@ -315,7 +332,11 @@ class CaptureDevice(CameraDevice):
         ok = self.lib.ds_get_sync(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size
         )
-        return (True, buf) if ok else (False, None)
+        if not ok:
+            return False, None
+        if self.mirror:
+            buf = buf[:, ::-1]
+        return True, buf
 
     def getColorIntrinsics(self):
         vals = (ctypes.c_float * 4)()

@@ -371,14 +371,17 @@ class RealtimeHandposePipeline:
         The rotation center is config['crop_joint_idx'] when set (the
         reference uses importer.crop_joint_idx), else the pose CoM.
         """
-        from deepprior_tpu.geometry import rotate_points_3d
+        # numpy twin: an eager jnp op here would be a per-rendered-frame
+        # accelerator round trip (camera.py host-twins note)
+        from deepprior_tpu.geometry import rotate_points_3d_np
 
         frame = result["frame"]
         joints3d = np.asarray(result["joints3d"], np.float32)
         cj = self.config.get("crop_joint_idx")
         center = joints3d[int(cj)] if cj is not None else joints3d.mean(axis=0)
         rotated = np.asarray(
-            rotate_points_3d(joints3d, center[None], 0.0, 90.0, 0.0)
+            rotate_points_3d_np(joints3d, center[None], 0.0, 90.0, 0.0),
+            np.float32,
         )
         uvd = self.camera.three_d_to_img_np(rotated)
         ev_cls = evaluation_for(joints3d.shape[0])

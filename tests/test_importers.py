@@ -87,6 +87,59 @@ def test_icvl_nmax_and_shuffle(icvl_tree, tmp_path):
     assert len(seq.data) == 3
 
 
+def test_icvl_nmax_load_does_not_pollute_cache(icvl_tree, tmp_path):
+    """A truncated (Nmax) cold load must NOT write the cache — the key
+    does not encode Nmax, so a later full load would silently get the
+    truncated sequence (a reference pickle-cache bug we do not keep)."""
+    root, _ = icvl_tree
+    cache = str(tmp_path / "cache")
+    imp = ICVLImporter(root, cache_dir=cache)
+    seq = imp.loadSequence("train", Nmax=2)
+    assert len(seq.data) == 2
+    assert not os.path.isdir(cache) or not os.listdir(cache)
+    # full load now populates the cache with the COMPLETE sequence...
+    assert len(imp.loadSequence("train").data) == 3
+    assert any(f.endswith(".npz") for f in os.listdir(cache))
+    # ...and cache hits truncate on read
+    assert len(imp.loadSequence("train", Nmax=2).data) == 2
+    assert len(imp.loadSequence("train").data) == 3
+
+
+class _ShiftRefiner:
+    """Stub CoM refiner: fixed (du, dv, 0) image-space shift, batched like
+    CNNComRefiner (works on both numpy and jnp inputs)."""
+
+    def __init__(self, du=3.0, dv=-2.0):
+        self.delta = np.array([du, dv, 0.0], np.float32)
+
+    def __call__(self, dpt, com, cube):
+        return np.asarray(com, np.float32) + self.delta
+
+
+def test_icvl_host_comref_matches_device_path(icvl_tree, tmp_path):
+    """docom=True with an attached refine_net applies the refinement on
+    the HOST crop path too (reference cropArea3D, handdetector.py:429-441)
+    — the CoMs must match the batched device path, and differ from the
+    unrefined 'com' mode."""
+    root, _ = icvl_tree
+    ref = _ShiftRefiner()
+    imp_h = ICVLImporter(root, use_cache=False, refine_net=ref)
+    imp_d = ICVLImporter(root, use_cache=False, refine_net=ref)
+    imp_0 = ICVLImporter(root, use_cache=False)
+    host = imp_h.loadSequence("train", docom=True, device_crop=False)
+    dev = imp_d.loadSequence("train", docom=True, device_crop=True)
+    plain = imp_0.loadSequence("train", docom=True, device_crop=False)
+    assert len(host.data) == len(dev.data) == 3
+    for fh, fd, fp in zip(host.data, dev.data, plain.data):
+        # same refined CoM on both paths (host/device crops are bit-exact
+        # on the crop grid; the CoM math is float-rounding close)
+        np.testing.assert_allclose(fh.com, fd.com, atol=1e-3)
+        # and the refinement actually happened
+        np.testing.assert_allclose(fh.com[:2] - fp.com[:2],
+                                   ref.delta[:2], atol=1e-3)
+        np.testing.assert_allclose(fh.dpt, fd.dpt, atol=1e-3)
+
+
 def test_icvl_baseline_loader(tmp_path):
     imp = ICVLImporter(str(tmp_path))
     vals = np.arange(16 * 3, dtype=np.float32) + 1.0

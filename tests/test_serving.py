@@ -126,6 +126,29 @@ def test_batcher_error_isolation(setup):
         assert srv.stats["errors"] == 0  # no batch ever failed
 
 
+def test_batcher_mixed_shape_groups_are_isolated(setup):
+    """Requests of different frame shapes never share one np.stack batch:
+    a stray shape that slips past submit (the cameraless re-pin window
+    after a failed batch clears _tentative_shape while validated requests
+    are still queued) settles in its OWN group instead of failing every
+    co-batched caller."""
+    from concurrent.futures import Future
+
+    from deepprior_tpu.realtime.batcher import _Request
+
+    est, variables, depth, com = setup
+    with MicroBatchServer(est, variables, max_batch=8,
+                          max_wait_ms=50.0) as srv:
+        stray = _Request(depth=np.zeros((32, 48), np.float32),
+                         com=np.asarray(com[0], np.float32), cube=None,
+                         mirror=False, future=Future())
+        f_ok = srv.submit(depth[0], com[0])
+        srv._q.put(stray)  # bypasses submit validation, like the window
+        ok = f_ok.result(timeout=120)
+        assert ok.shape == (14, 3)  # the honest caller is unaffected
+        stray.future.exception(timeout=120)  # settled (either outcome)
+
+
 def test_batcher_close_rejects_new_work(setup):
     est, variables, depth, com = setup
     srv = MicroBatchServer(est, variables, max_batch=4, max_wait_ms=1.0)
