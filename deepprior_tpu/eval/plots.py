@@ -196,7 +196,9 @@ def plot_evaluation(ev, name: str, method_name="Ours", baseline=None):
                      else base.getJointMaxError(j) for j in range(nj)]
             bvals.append(base.getMeanError() if kind == "meanerror" else base.getMaxError())
             ax.bar(x + (bi + 1) * width, bvals, width, label=label)
-        ax.set_xticks(x + 0.4)
+        # group centers: modern matplotlib centers each bar at its x (the
+        # reference's x+0.4 assumed matplotlib<2 edge-aligned bars)
+        ax.set_xticks(x + width * len(baseline) / 2.0)
         ax.set_xticklabels(names, rotation=90, fontsize=7)
         ax.set_ylabel("Error / mm")
         if ev.dolegend:

@@ -39,7 +39,15 @@ def prelu(x, c):
 def takes_learned_param(fn: Optional[Callable]) -> bool:
     """True when `fn(x, c)` expects a trainable parameter tensor — the
     reference's `len(inspect.getargspec(activation).args) == 2` dispatch
-    (hiddenlayer.py:145, nonlinearitylayer.py:112)."""
+    (hiddenlayer.py:145, nonlinearitylayer.py:112).
+
+    Deliberate narrowing vs the reference: only REQUIRED positional args
+    count.  The reference counts defaulted args too, so a 2-arg activation
+    with a default (e.g. `leaky_relu(x, negative_slope=0.01)`) would grow
+    a trainable per-unit `c` there; here it is applied plainly.  Counting
+    defaults would misfire on most jax.nn activations (gelu's
+    `approximate=True`, etc.); pass a genuinely 2-required-arg callable
+    (like `prelu`) to opt into the learned parameter."""
     if fn is None:
         return False
     try:

@@ -27,7 +27,7 @@ from typing import Any, NamedTuple, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deepprior_tpu.models.layers import he_init, xavier_init
+from deepprior_tpu.models.layers import DROPOUT_RATE, he_init, xavier_init
 
 # Theano's BN default_update running-average semantics (reference
 # batchnormlayer.py:160-177) keep exponential averages with a fixed rate;
@@ -140,10 +140,10 @@ class ResNet(nn.Module):
         x = x.reshape((x.shape[0], -1))
         x = nn.relu(nn.Dense(cfg.hidden, kernel_init=he_init, dtype=dt)(x))
         if cfg.dropout:
-            x = nn.Dropout(0.3, deterministic=not train)(x)
+            x = nn.Dropout(DROPOUT_RATE, deterministic=not train)(x)
         x = nn.relu(nn.Dense(cfg.hidden, kernel_init=he_init, dtype=dt)(x))
         if cfg.dropout:
-            x = nn.Dropout(0.3, deterministic=not train)(x)
+            x = nn.Dropout(DROPOUT_RATE, deterministic=not train)(x)
         if cfg.embedding is not None:
             x = nn.Dense(cfg.embedding, kernel_init=xavier_init, dtype=dt)(x)
         x = nn.Dense(cfg.out_dim, kernel_init=xavier_init, dtype=dt)(x)

@@ -120,6 +120,14 @@ class ShardedEstimator:
         if com is None:
             import jax.numpy as jnp
 
+            if not getattr(self.est, "detect", False):
+                # a zeros CoM would crop empty space at the image origin
+                # and return plausible-looking garbage joints; only a
+                # detecting pipeline can recover the hand from the frame
+                raise ValueError(
+                    "com is required unless the wrapped FusedEstimator "
+                    "was built with detect=True"
+                )
             com = jnp.zeros((depth.shape[0], 3), jnp.float32)
         depth, com = self.place_batch(depth, com)
         return self._fn(self.variables, depth, com)

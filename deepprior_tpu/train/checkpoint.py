@@ -49,7 +49,10 @@ def save_checkpoint(path: str, tree: Any, config: Any = None) -> None:
         # outdir passed where a file path belongs) must stay a loud
         # error, not a recursive delete.
         entries = set(os.listdir(path))
-        sharded_markers = {"fingerprint.json", "tree", "tree.new"}
+        sharded_markers = {
+            "fingerprint.json", "fingerprint.json.new",
+            "fingerprint.json.new.tmp", "tree", "tree.new",
+        }
         if entries and not all(
             e in sharded_markers or ".orbax-checkpoint-tmp-" in e
             for e in entries

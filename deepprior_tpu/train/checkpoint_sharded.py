@@ -36,6 +36,7 @@ import jax
 from deepprior_tpu.train.checkpoint import _fingerprint
 
 _FP_NAME = "fingerprint.json"
+_FP_NEW_NAME = "fingerprint.json.new"
 _TREE_NAME = "tree"
 _TREE_NEW_NAME = "tree.new"
 
@@ -60,16 +61,35 @@ def _committed_tree(path: str) -> Optional[str]:
     return None
 
 
+def _fp_for(path: str) -> Optional[str]:
+    """The fingerprint file PAIRED with the newest committed tree.
+
+    save() writes fingerprint.json.new before kicking the tree write and
+    _promote renames it over fingerprint.json together with tree.new ->
+    tree, so the pairing rule is: a committed tree.new pairs with
+    fingerprint.json.new when that exists (pre-promote state; also every
+    crash window — fp.new is written first, so tree.new implies fp.new),
+    otherwise with fingerprint.json (promote replaces the fp FIRST, so
+    once fp.new is gone fingerprint.json already holds the new config).
+    A committed `tree` always pairs with fingerprint.json.  Returns None
+    when no committed tree or no paired fingerprint exists."""
+    tree_dir = _committed_tree(path)
+    if tree_dir is None:
+        return None
+    if os.path.basename(tree_dir) == _TREE_NEW_NAME:
+        fp_new = os.path.join(path, _FP_NEW_NAME)
+        if os.path.exists(fp_new):
+            return fp_new
+    fp = os.path.join(path, _FP_NAME)
+    return fp if os.path.exists(fp) else None
+
+
 def is_sharded_checkpoint(path: str) -> bool:
-    """True when path holds a RESTORABLE sharded checkpoint: the
-    fingerprint marker plus at least one committed tree (a crash before
-    the first commit leaves the marker alone — that is debris, not a
-    checkpoint, and resume must not dispatch to the sharded restore)."""
-    return (
-        os.path.isdir(path)
-        and os.path.exists(os.path.join(path, _FP_NAME))
-        and _committed_tree(path) is not None
-    )
+    """True when path holds a RESTORABLE sharded checkpoint: a committed
+    tree plus its paired fingerprint marker (a crash before the first
+    commit leaves markers alone — that is debris, not a checkpoint, and
+    resume must not dispatch to the sharded restore)."""
+    return os.path.isdir(path) and _fp_for(path) is not None
 
 
 def _barrier(tag: str) -> None:
@@ -89,6 +109,14 @@ def _promote(path: str) -> None:
     if jax.process_index() == 0 and os.path.isdir(new_dir):
         import shutil
 
+        # fingerprint FIRST: while tree.new exists it pairs with fp.new
+        # (see _fp_for), so replacing fingerprint.json before the tree
+        # rename keeps every crash window consistently paired — a crash
+        # here leaves tree.new + promoted fingerprint.json, which _fp_for
+        # resolves to the (identical) fingerprint.json
+        fp_new = os.path.join(path, _FP_NEW_NAME)
+        if os.path.exists(fp_new):
+            os.replace(fp_new, os.path.join(path, _FP_NAME))
         old_dir = os.path.join(path, _TREE_NAME)
         if os.path.exists(old_dir):
             shutil.rmtree(old_dir)
@@ -173,14 +201,20 @@ class ShardedCheckpointer:
                         shutil.rmtree(os.path.join(path, name))
         _barrier("deepprior_sharded_ckpt_clean")
         os.makedirs(path, exist_ok=True)
-        self._ckptr.save(new_dir, args=ocp.args.StandardSave(tree))
-        self._last_path = path
-        fp_path = os.path.join(path, _FP_NAME)
+        # fingerprint staged as fp.new BEFORE the tree write kicks off and
+        # promoted together with tree.new at the drain point (_promote):
+        # writing fingerprint.json directly here would pair the NEW
+        # config's fingerprint with the OLD committed tree in the async
+        # crash window, silently suppressing the mismatch diff on resume
         if jax.process_index() == 0:
-            tmp = fp_path + ".tmp"
+            fp_new = os.path.join(path, _FP_NEW_NAME)
+            tmp = fp_new + ".tmp"
             with open(tmp, "w") as f:
                 f.write(_fingerprint(config))
-            os.replace(tmp, fp_path)
+            os.replace(tmp, fp_new)
+        _barrier("deepprior_sharded_ckpt_fp_staged")
+        self._ckptr.save(new_dir, args=ocp.args.StandardSave(tree))
+        self._last_path = path
 
     def metadata_keys(self, path: str) -> set:
         """Top-level key names of the stored tree (cheap: metadata only —
@@ -213,7 +247,12 @@ class ShardedCheckpointer:
         ocp = _ocp()
         matched = True
         if config is not None:
-            with open(os.path.join(path, _FP_NAME)) as f:
+            fp_path = _fp_for(path)
+            if fp_path is None:
+                raise FileNotFoundError(
+                    f"no committed checkpoint fingerprint under {path}"
+                )
+            with open(fp_path) as f:
                 stored = f.read()
             now = _fingerprint(config)
             if stored != now:

@@ -61,6 +61,13 @@ def reference_adam(
     def update(grads, state, params=None):
         del params
         t = state.count
+        # NOTE: in float32 the default gamma = 1 - 1e-8 rounds to exactly
+        # 1.0 (1e-8 < ulp(1)/2), so this decay term folds away at compile
+        # time — exactly as it does in the reference's float32 Theano run
+        # (optimizer.py:58-90).  Bit-parity holds BECAUSE both round; do
+        # not "fix" this with a higher-precision formulation (e.g.
+        # exp((t-1) * log1p(-1e-8))), which would diverge from the
+        # reference.  A non-default gamma (e.g. 0.999) is honored.
         beta1_t = beta1 * gamma ** (t - 1.0)
         mu = jax.tree.map(
             lambda m, g: beta1_t * m + (1.0 - beta1_t) * g, state.mu, grads

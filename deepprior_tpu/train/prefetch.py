@@ -33,6 +33,7 @@ class DevicePrefetcher:
         self._device = device
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._finished = False
         self._closed = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -93,8 +94,14 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # the _done sentinel is consumed exactly once; without this flag a
+        # second pass over an exhausted (or closed) iterator would block
+        # forever in q.get on a permanently empty queue
+        if self._finished or self._closed.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
+            self._finished = True
             if self._error is not None:
                 raise RuntimeError(
                     "DevicePrefetcher worker failed"

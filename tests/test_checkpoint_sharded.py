@@ -291,3 +291,55 @@ def test_distributed_sharded_resume_bit_identical(tmp_path):
                    log=lambda m: None)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fingerprint_pairs_with_committed_tree(tmp_path):
+    """The config fingerprint commits WITH its tree, not before it: a
+    crash in the async window must never pair the NEW config's
+    fingerprint with the OLD committed tree (which would silently
+    suppress the mismatch diff on resume)."""
+    from deepprior_tpu.train.checkpoint_sharded import (
+        ShardedCheckpointer, is_sharded_checkpoint, load_checkpoint_sharded,
+    )
+
+    path = str(tmp_path / "snap")
+    cfg_a = {"lr": 1e-3}
+    cfg_b = {"lr": 5e-4}
+    save_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 1},
+                            config=cfg_a)
+    assert is_sharded_checkpoint(path)
+
+    # crash window 1: fingerprint staged (fp.new = B) but the tree write
+    # never committed -> the committed tree still pairs with config A
+    with open(os.path.join(path, "fingerprint.json.new"), "w") as f:
+        from deepprior_tpu.train.checkpoint import _fingerprint
+
+        f.write(_fingerprint(cfg_b))
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0},
+                                config=cfg_b)
+    got, ok = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0},
+                                      config=cfg_a)
+    assert ok and got["epoch"] == 1
+    os.remove(os.path.join(path, "fingerprint.json.new"))
+
+    # crash window 2: tree.new (B) committed but not yet promoted -> the
+    # newest committed tree pairs with fp.new (B), and a fresh restore
+    # sees config B + values B
+    ck = ShardedCheckpointer(async_save=False)
+    ck.save(path, {"v": jnp.ones(4), "epoch": 7}, config=cfg_b)
+    assert os.path.isdir(os.path.join(path, "tree.new"))
+    assert os.path.exists(os.path.join(path, "fingerprint.json.new"))
+    got, ok = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0},
+                                      config=cfg_b)
+    assert ok and got["epoch"] == 7
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0},
+                                config=cfg_a)
+    # drain: promote renames both markers together
+    ck.close()
+    assert not os.path.exists(os.path.join(path, "tree.new"))
+    assert not os.path.exists(os.path.join(path, "fingerprint.json.new"))
+    got, ok = load_checkpoint_sharded(path, {"v": jnp.zeros(4), "epoch": 0},
+                                      config=cfg_b)
+    assert ok and got["epoch"] == 7

@@ -358,3 +358,48 @@ def test_sharded_estimator_pallas_shard_map():
     )
     assert out[0].shape == (8, 2, 3)
     assert out[2].shape == (8, 128, 128)
+
+
+def test_stream_put_shards_batch_axis(dist_setup):
+    """stream_put (the per-batch staging companion of chunked_epochs)
+    splits axis 0 over the data axes so the step's sharding constraint is
+    a no-op; stream_put_chunk shards axis 1 (batch) and leaves the scan
+    axis whole."""
+    from jax.sharding import PartitionSpec as P
+
+    cam, data, prior = dist_setup
+    cfg = TrainConfig(batch_size=8, n_epochs=1, aug_modes=None)
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=30))
+    trainer = DistributedTrainer(model, cfg, cam, make_mesh(dp=4, tp=2),
+                                 prior=prior)
+    batch = {"crops": np.zeros((8, 16, 16), np.float32),
+             "com": np.zeros((8, 3), np.float32)}
+    out = trainer.stream_put(batch)
+    assert out["crops"].sharding.spec == P(trainer._batch_axes, None, None)
+    assert out["com"].sharding.spec == P(trainer._batch_axes, None)
+    chunk = {"crops": np.zeros((2, 8, 16, 16), np.float32)}
+    outc = trainer.stream_put_chunk(chunk)
+    assert outc["crops"].sharding.spec == P(
+        None, trainer._batch_axes, None, None
+    )
+
+
+def test_sharded_estimator_requires_com_without_detect():
+    """com=None is only recoverable by a detecting pipeline; a silent
+    zeros CoM would crop empty space and return garbage joints."""
+    import pytest as _pytest
+
+    from deepprior_tpu.camera import NYU_CAMERA as cam
+    from deepprior_tpu.models import PoseRegNet, PoseRegNetConfig
+    from deepprior_tpu.parallel import make_mesh
+    from deepprior_tpu.parallel.serve import ShardedEstimator
+    from deepprior_tpu.realtime.fused import FusedEstimator
+
+    model = PoseRegNet(PoseRegNetConfig(num_joints=1, n_dims=6,
+                                        dropout=False))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 1)))
+    est = FusedEstimator(model, cam, crop_method="onehot")
+    sharded = ShardedEstimator(est, make_mesh(tp=1), variables,
+                               tp_params=False)
+    with _pytest.raises(ValueError, match="detect=True"):
+        sharded(np.zeros((8, 480, 640), np.float32))
