@@ -72,6 +72,54 @@ def test_euler_rotation_matrix_axes():
     np.testing.assert_allclose(r, rx @ ry @ rz, atol=1e-6)
 
 
+def _quat_from_axis_angle(axis, angle_rad):
+    axis = np.asarray(axis, np.float64)
+    half = angle_rad / 2.0
+    return np.concatenate([[np.cos(half)], np.sin(half) * axis])
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_rotate(q, p):
+    """Sandwich p' = q (0,p) q* — no rotation matrix involved."""
+    pq = np.concatenate([[0.0], np.asarray(p, np.float64)])
+    qc = q * np.array([1.0, -1.0, -1.0, -1.0])
+    return _quat_mul(_quat_mul(q, pq), qc)[1:]
+
+
+def test_euler_rotation_matrix_matches_quaternion_oracle(rng):
+    """Independent oracle for the 'rxyz' convention (transformations.py:118
+    euler2mat(ax, ay, az, 'rxyz'); transforms3d is not in this image).
+
+    Intrinsic-xyz rotation composed as unit quaternions qx*qy*qz and
+    applied by the sandwich product — a computational path sharing no
+    code or algebra with the matrix build (and with the prior sweep's
+    scalar Rx@Ry@Rz twin, which could otherwise share a misreading)."""
+    for _ in range(20):
+        ax, ay, az = rng.uniform(-np.pi, np.pi, 3)
+        q = _quat_mul(
+            _quat_mul(
+                _quat_from_axis_angle([1, 0, 0], ax),
+                _quat_from_axis_angle([0, 1, 0], ay),
+            ),
+            _quat_from_axis_angle([0, 0, 1], az),
+        )
+        r = np.asarray(
+            euler_rotation_matrix(np.rad2deg(ax), np.rad2deg(ay), np.rad2deg(az))
+        )
+        p = rng.uniform(-100, 100, 3)
+        np.testing.assert_allclose(r @ p, _quat_rotate(q, p), atol=5e-4)
+
+
 def test_rotate_points_3d_roundtrip(rng):
     pts = rng.uniform(-100, 100, (5, 3)).astype(np.float32)
     center = np.array([10.0, -5.0, 600.0], np.float32)
