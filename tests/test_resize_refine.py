@@ -240,3 +240,48 @@ def test_fused_estimator_resize_nd_bilinear():
     assert np.isfinite(np.asarray(crops)).all()
     with pytest.raises(ValueError, match="unknown resize"):
         FusedEstimator(model, cam, prior=prior, resize="cubic")
+
+
+@pytest.mark.slow
+def test_resize_twins_match_torch_oracle():
+    """Independent oracle for the cv2 resize geometry (cv2 itself is not
+    in this image; the device paths are pinned against the host twin, so
+    the twin's cv2-faithfulness is the root of that chain).
+
+    torch.nn.functional.interpolate implements the same conventions:
+    'bilinear' align_corners=False is cv2.INTER_LINEAR's half-pixel map
+    with float weights (cv2's only deviation is its fixed-point 1/2048
+    weight quantization, which the twin deliberately idealizes away —
+    docs/PARITY.md resize row), and 'nearest' is floor(dst * in/out).
+
+    The one masked case: torch computes the nearest scale in float32, so
+    at EXACT-INTEGER quotients (dst * in/out integral) its floor can land
+    one pixel low (observed: dst 93 of w=110/sw=186 -> 93*(110/186 as
+    f32) = 54.999996 -> 54, where cv2's double arithmetic gives 55).
+    cv2 uses double, as the twin does, so torch is the deviating side
+    there — those positions are excluded; everywhere else nearest must
+    agree EXACTLY, and linear within f32 round-off of the blend order."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from deepprior_tpu.data.detector_np import HandCropper
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        h, w = (int(v) for v in rng.integers(3, 200, 2))
+        sw, sh = (int(v) for v in rng.integers(2, 200, 2))
+        src = rng.uniform(0.0, 1500.0, (h, w)).astype(np.float32)
+        t = torch.from_numpy(src)[None, None]
+
+        ours = HandCropper.resize_linear(src, (sw, sh))
+        ref = F.interpolate(
+            t, size=(sh, sw), mode="bilinear", align_corners=False
+        )[0, 0].numpy()
+        np.testing.assert_allclose(ours, ref, atol=0.05)
+
+        ours_nn = HandCropper.resize_nearest(src, (sw, sh))
+        ref_nn = F.interpolate(t, size=(sh, sw), mode="nearest")[0, 0].numpy()
+        col_exact = (np.arange(sw) * w) % sw == 0
+        row_exact = (np.arange(sh) * h) % sh == 0
+        ok = ~(row_exact[:, None] | col_exact[None, :])
+        np.testing.assert_array_equal(ours_nn[ok], ref_nn[ok])
