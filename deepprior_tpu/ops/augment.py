@@ -78,6 +78,7 @@ def augment_batch(
     use_pallas: Optional[bool] = None,
     fuse_norm: Optional[bool] = None,
     block_k: Optional[int] = None,
+    resize: str = "nearest",
 ):
     """Augment a batch of normalized crops + labels on device.
 
@@ -101,6 +102,14 @@ def augment_batch(
                 contiguous (K, H, W) DMA per step instead of K per-sample
                 copies — see pallas_warp.pallas_warp_patch).  Bit-identical
                 to the per-sample kernel.  None keeps per-sample.
+    resize:     warp interpolation, mirroring the reference's resizeMethod
+                dispatch inside rotateHand/recropHand (handdetector.py:
+                731-737, 785-791): 'nearest' (RESIZE_CV2_NN, the default —
+                and the ONLY method any reference config ever runs: nothing
+                in the reference sets resizeMethod) or 'linear'
+                (cv2.INTER_LINEAR float idealization; cv2's warp quantizes
+                subpixel coords to 1/32 — docs/PARITY.md).  'linear' forces
+                the gather warp (the Pallas kernel is nearest-only).
 
     Returns (crops_norm', labels_norm' (B, J, 3) scaled by cube'/2,
              com', cube', m').
@@ -108,6 +117,14 @@ def augment_batch(
     for md in aug_modes:
         if md not in VALID_MODES:
             raise ValueError(f"unknown augmentation mode {md!r}")
+    if resize not in ("nearest", "linear"):
+        raise ValueError(f"unknown resize {resize!r} (nearest|linear)")
+    if resize == "linear":
+        if use_pallas:
+            raise ValueError("the Pallas warp kernel is nearest-only; "
+                             "use_pallas must be False/None with "
+                             "resize='linear'")
+        use_pallas = False
     crops_norm = jnp.asarray(crops_norm, jnp.float32)
     gt3d_crop = jnp.asarray(gt3d_crop, jnp.float32)
     com = jnp.asarray(com, jnp.float32)
@@ -234,9 +251,12 @@ def augment_batch(
                 img_mm, a_fwd, border=0.0, nv_val=NV_VAL, block_k=bk
             )
         else:
-            warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL)
+            warped = warp_patch(img_mm, a_fwd, border=0.0, nv_val=NV_VAL,
+                                use_bilinear=(resize == "linear"))
         # 'none'/'rot'-with-rot==0 must be bit-exact passthrough; identity
-        # warp is exact by construction (round-to-nearest of int coords)
+        # warp is exact by construction (round-to-nearest of int coords;
+        # bilinear: integer coords give frac 0, so the 1.0-weighted v00
+        # tap passes through exactly)
         thresh = needs_recrop[:, None, None]
         zs_b = zs_t[:, None, None]
         ze_b = ze_t[:, None, None]

@@ -65,6 +65,12 @@ class TrainConfig(NamedTuple):
     # (K, H, W) DMA per step — ops/pallas_warp.py block_k).  None =
     # per-sample; bit-identical either way.
     aug_block_k: Optional[int] = None
+    # warp interpolation for the augmentation recrops — the reference's
+    # resizeMethod dispatch inside rotateHand/recropHand (handdetector.py:
+    # 731-737, 785-791).  'nearest' is the reference default (and the only
+    # method any reference config reaches); 'linear' mirrors
+    # RESIZE_CV2_LINEAR and forces the gather warp (Pallas is nearest-only).
+    aug_resize: str = "nearest"
     snapshot_every: int = 5  # nettrainer snapshot_last cadence
     eval_every: int = 1  # epochs between validation-observer runs
     # sub-epoch observer cadence in MINIBATCHES (reference
@@ -765,6 +771,7 @@ class Trainer:
                 sigma_com=cfg.sigma_com, sigma_sc=cfg.sigma_sc,
                 rot_range=cfg.rot_range, norm_zero_one=cfg.norm_zero_one,
                 fuse_norm=cfg.aug_fuse_norm, block_k=cfg.aug_block_k,
+                resize=cfg.aug_resize,
             )
         else:
             labels_norm = gt3d / (cube[:, 2] / 2.0)[:, None, None]

@@ -116,6 +116,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--eval-prefix", default=None)
     p.add_argument("--out", default="./eval")
     p.add_argument("--aug-modes", nargs="*", default=["com", "rot", "none"])
+    p.add_argument("--aug-resize", choices=["nearest", "linear"],
+                   default="nearest",
+                   help="augmentation warp interpolation — the reference's "
+                        "resizeMethod dispatch in rotateHand/recropHand "
+                        "(handdetector.py:731-737, 785-791). nearest is the "
+                        "reference default (the only method its configs "
+                        "reach); linear forces the gather warp.")
     p.add_argument("--aug-block-k", type=int, default=None,
                    help="samples per warp-kernel grid step in the Pallas "
                         "augmentation path (one contiguous (K, H, W) DMA "
@@ -519,6 +526,7 @@ def run_posereg_embedding(args, importer_cls, camera, train_seq, test_seqs,
         model_has_dropout=has_dropout and wr <= 0.0,
         validation_frequency=getattr(args, "validation_frequency", None),
         aug_block_k=getattr(args, "aug_block_k", None),
+        aug_resize=getattr(args, "aug_resize", "nearest"),
     )
     trainer = make_trainer(model, cfg, camera, prior=prior, dp=args.dp,
                            tp=args.tp, sp=args.sp)
@@ -687,6 +695,7 @@ def run_com_refine(args, importer_cls, camera, train_seq, test_seqs,
         use_early_stopping=False,
         validation_frequency=getattr(args, "validation_frequency", None),
         aug_block_k=getattr(args, "aug_block_k", None),
+        aug_resize=getattr(args, "aug_resize", "nearest"),
     )
     trainer = make_trainer(model, cfg, camera, prior=None, dp=args.dp,
                            tp=args.tp, sp=args.sp)

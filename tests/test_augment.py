@@ -186,3 +186,132 @@ def test_zero_one_normalization(batch):
     )
     out = np.asarray(out)
     assert out.min() >= -1e-4 and out.max() <= 1.0 + 1e-4
+
+
+def _warp_linear_np(img, m_fwd, border=0.0, nv_val=None):
+    """Numpy twin of warp_patch(use_bilinear=True): cv2.warpPerspective
+    INTER_LINEAR float idealization — dst centers inverse-mapped (no
+    half-pixel shift, unlike resize), 4-tap blend with constant border,
+    nv-mask applied AFTER the blend (handdetector.py:791-793 order)."""
+    h, w = img.shape
+    m_inv = np.linalg.inv(np.asarray(m_fwd, np.float64)).astype(np.float32)
+    v, u = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    sx = m_inv[0, 0] * u + m_inv[0, 1] * v + m_inv[0, 2]
+    sy = m_inv[1, 0] * u + m_inv[1, 1] * v + m_inv[1, 2]
+    sz = m_inv[2, 0] * u + m_inv[2, 1] * v + m_inv[2, 2]
+    xf, yf = sx / sz, sy / sz
+    x0, y0 = np.floor(xf), np.floor(yf)
+    fx, fy = xf - x0, yf - y0
+
+    def tap(q, p):
+        inb = (p >= 0) & (p < w) & (q >= 0) & (q < h)
+        vals = img[np.clip(q, 0, h - 1).astype(int),
+                   np.clip(p, 0, w - 1).astype(int)]
+        return np.where(inb, vals, border).astype(np.float32)
+
+    out = (tap(y0, x0) * (1 - fx) * (1 - fy)
+           + tap(y0, x0 + 1) * fx * (1 - fy)
+           + tap(y0 + 1, x0) * (1 - fx) * fy
+           + tap(y0 + 1, x0 + 1) * fx * fy)
+    if nv_val is not None:
+        out = np.where(np.isclose(out, nv_val), border, out)
+    return out.astype(np.float32)
+
+
+def _rand_affine(rng):
+    ang = np.deg2rad(rng.uniform(-60, 60))
+    s = rng.uniform(0.7, 1.4)
+    c, sn = np.cos(ang) * s, np.sin(ang) * s
+    tx, ty = rng.uniform(-8, 8, 2)
+    return np.array([[c, -sn, tx], [sn, c, ty], [0, 0, 1]], np.float32)
+
+
+def test_warp_patch_bilinear_matches_numpy_twin():
+    from deepprior_tpu.ops.crop import warp_patch
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        img = rng.uniform(400.0, 1100.0, (32, 32)).astype(np.float32)
+        img[rng.uniform(size=img.shape) < 0.2] = 32000.0  # NV pixels
+        m = _rand_affine(rng)
+        ours = np.asarray(warp_patch(img, m, border=0.0, nv_val=32000.0,
+                                     use_bilinear=True))
+        ref = _warp_linear_np(img, m, border=0.0, nv_val=32000.0)
+        # rtol covers coordinate ulps (inv3x3 vs np.linalg.inv) amplified
+        # by partially-blended NV(32000) pixels — the blend-leak itself is
+        # cv2-faithful (the reference's isclose nv-mask runs post-blend
+        # and only catches near-exact marker values, handdetector.py:793)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=0.05)
+
+
+@pytest.mark.slow
+def test_warp_patch_bilinear_matches_torch_grid_sample():
+    """Independent oracle for the 4-tap warp blend + constant-0 border
+    (cv2 is not in this image): torch grid_sample 'bilinear' with
+    align_corners=True maps grid [-1,1] to pixel centers [0, size-1] —
+    the unnormalized source coordinate — and 'zeros' padding blends 0
+    for out-of-bound taps, exactly warp_patch's border=0 semantics."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from deepprior_tpu.ops.crop import warp_patch
+
+    rng = np.random.default_rng(9)
+    for _ in range(4):
+        h, w = 40, 56
+        img = rng.uniform(0.0, 1500.0, (h, w)).astype(np.float32)
+        m = _rand_affine(rng)
+        ours = np.asarray(warp_patch(img, m, border=0.0, use_bilinear=True))
+
+        m_inv = np.linalg.inv(np.asarray(m, np.float64)).astype(np.float32)
+        v, u = np.meshgrid(np.arange(h, dtype=np.float32),
+                           np.arange(w, dtype=np.float32), indexing="ij")
+        xf = m_inv[0, 0] * u + m_inv[0, 1] * v + m_inv[0, 2]
+        yf = m_inv[1, 0] * u + m_inv[1, 1] * v + m_inv[1, 2]
+        grid = np.stack([2.0 * xf / (w - 1) - 1.0,
+                         2.0 * yf / (h - 1) - 1.0], axis=-1)
+        ref = F.grid_sample(
+            torch.from_numpy(img)[None, None],
+            torch.from_numpy(grid)[None],
+            mode="bilinear", padding_mode="zeros", align_corners=True,
+        )[0, 0].numpy()
+        np.testing.assert_allclose(ours, ref, atol=0.05)
+
+
+@pytest.mark.slow
+def test_augment_linear_resize(batch):
+    """resize='linear' (reference RESIZE_CV2_LINEAR through rotateHand/
+    recropHand, handdetector.py:731-737/785-791): label/com/cube/m math is
+    interpolation-independent, 'none' passes through like nearest, and a
+    recropped batch actually blends (differs from the nearest warp)."""
+    cam, crops_norm, gt3d, com, cube, m = batch
+
+    out_n, labels_n, com_n, cube_n, m_n = augment_batch(
+        jax.random.key(3), crops_norm, gt3d, com, cube, m, cam,
+        aug_modes=("com", "rot"), resize="nearest", use_pallas=False)
+    out_l, labels_l, com_l, cube_l, m_l = augment_batch(
+        jax.random.key(3), crops_norm, gt3d, com, cube, m, cam,
+        aug_modes=("com", "rot"), resize="linear")
+    np.testing.assert_array_equal(np.asarray(labels_n), np.asarray(labels_l))
+    np.testing.assert_array_equal(np.asarray(com_n), np.asarray(com_l))
+    np.testing.assert_array_equal(np.asarray(cube_n), np.asarray(cube_l))
+    np.testing.assert_array_equal(np.asarray(m_n), np.asarray(m_l))
+    out_l = np.asarray(out_l)
+    assert np.isfinite(out_l).all()
+    assert not np.array_equal(np.asarray(out_n), out_l)
+
+    # 'none' passthrough holds under linear too (integer coords -> frac 0)
+    out0, *_ = augment_batch(
+        jax.random.key(0), crops_norm, gt3d, com, cube, m, cam,
+        aug_modes=("none",), resize="linear")
+    out0 = np.asarray(out0)
+    premax = np.isclose(crops_norm, crops_norm.max(axis=(1, 2), keepdims=True))
+    assert (np.isclose(out0, crops_norm, atol=1e-5) | premax).mean() > 0.999
+
+    with pytest.raises(ValueError, match="nearest-only"):
+        augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
+                      cam, resize="linear", use_pallas=True)
+    with pytest.raises(ValueError, match="unknown resize"):
+        augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
+                      cam, resize="cubic")
