@@ -120,9 +120,19 @@ def augment_batch(
     if resize not in ("nearest", "linear"):
         raise ValueError(f"unknown resize {resize!r} (nearest|linear)")
     if resize == "linear":
+        # every Pallas-only knob must fail loudly, not silently drop the
+        # requested kernel path (the warp kernels are nearest-only)
         if use_pallas:
             raise ValueError("the Pallas warp kernel is nearest-only; "
                              "use_pallas must be False/None with "
+                             "resize='linear'")
+        if fuse_norm:
+            raise ValueError("fuse_norm runs the Pallas fused kernel, which "
+                             "is nearest-only; fuse_norm must be False/None "
+                             "with resize='linear'")
+        if block_k:
+            raise ValueError("block_k blocks the Pallas warp kernel, which "
+                             "is nearest-only; block_k must be None with "
                              "resize='linear'")
         use_pallas = False
     crops_norm = jnp.asarray(crops_norm, jnp.float32)

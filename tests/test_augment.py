@@ -309,9 +309,18 @@ def test_augment_linear_resize(batch):
     premax = np.isclose(crops_norm, crops_norm.max(axis=(1, 2), keepdims=True))
     assert (np.isclose(out0, crops_norm, atol=1e-5) | premax).mean() > 0.999
 
+    # every Pallas-only knob fails loudly under 'linear' (the warp kernels
+    # are nearest-only; a silent fallback would drop an explicitly
+    # requested kernel path)
     with pytest.raises(ValueError, match="nearest-only"):
         augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
                       cam, resize="linear", use_pallas=True)
+    with pytest.raises(ValueError, match="nearest-only"):
+        augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
+                      cam, resize="linear", fuse_norm=True)
+    with pytest.raises(ValueError, match="nearest-only"):
+        augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
+                      cam, resize="linear", block_k=4)
     with pytest.raises(ValueError, match="unknown resize"):
         augment_batch(jax.random.key(0), crops_norm, gt3d, com, cube, m,
                       cam, resize="cubic")
